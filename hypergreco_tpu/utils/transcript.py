@@ -1,0 +1,111 @@
+"""Keccak-256 Fiat-Shamir transcript.
+
+Mirrors the reference scheme (bfv-gkr/src/transcript.rs):
+- absorb: streaming keccak update of the element's canonical bytes
+- squeeze: digest = finalize_reset(); re-absorb digest; challenge =
+  int_from_le_bytes(digest) mod p   (fe_mod_from_le_bytes, transcript.rs:202)
+- ext challenges/writes: DEGREE base elements (transcript.rs:149-155)
+
+Deviation (documented in PROTOCOL.md): field elements are absorbed/streamed as
+little-endian canonical bytes; the reference streams big-endian (reversed
+repr). Self-consistent prover/verifier; golden-transcript parity with the
+Rust fork is pinned behind a byte-order flag once golden vectors exist.
+"""
+
+from __future__ import annotations
+
+from ..fields import FieldSpec
+from .keccak import new_keccak256
+
+
+class _TranscriptBase:
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self._hash = new_keccak256()
+
+    # -- absorb-only (no proof stream) --
+
+    def common_felt(self, x: int):
+        self._hash.update(self.spec.felt_to_bytes(x))
+
+    def common_felts(self, xs):
+        for x in xs:
+            self.common_felt(x)
+
+    def common_felt_ext(self, x):
+        for b in self.spec._c(x):
+            self.common_felt(b)
+
+    def common_felts_ext(self, xs):
+        for x in xs:
+            self.common_felt_ext(x)
+
+    # -- challenges --
+
+    def squeeze_base(self) -> int:
+        digest = self._hash.finalize_reset()
+        self._hash.update(digest)
+        return int.from_bytes(digest, "little") % self.spec.p
+
+    def squeeze_challenge(self) -> tuple:
+        return tuple(self.squeeze_base() for _ in range(self.spec.ext_degree))
+
+    def squeeze_challenges(self, n: int) -> list:
+        return [self.squeeze_challenge() for _ in range(n)]
+
+
+class TranscriptWriter(_TranscriptBase):
+    def __init__(self, spec: FieldSpec):
+        super().__init__(spec)
+        self._stream = bytearray()
+
+    def write_felt(self, x: int):
+        x = int(x) % self.spec.p
+        self.common_felt(x)
+        self._stream.extend(self.spec.felt_to_bytes(x))
+
+    def write_felt_ext(self, x):
+        for b in self.spec._c(x):
+            self.write_felt(b)
+
+    def write_felts(self, xs):
+        for x in xs:
+            self.write_felt(x)
+
+    def write_felts_ext(self, xs):
+        for x in xs:
+            self.write_felt_ext(x)
+
+    def into_proof(self) -> bytes:
+        return bytes(self._stream)
+
+
+class TranscriptReader(_TranscriptBase):
+    def __init__(self, spec: FieldSpec, proof: bytes):
+        super().__init__(spec)
+        self._proof = proof
+        self._pos = 0
+
+    def read_felt(self) -> int:
+        n = self.spec.repr_bytes
+        if self._pos + n > len(self._proof):
+            raise ValueError("transcript: unexpected end of proof stream")
+        x = self.spec.felt_from_bytes(self._proof[self._pos : self._pos + n])
+        self._pos += n
+        self.common_felt(x)
+        return x
+
+    def read_felt_ext(self) -> tuple:
+        return tuple(self.read_felt() for _ in range(self.spec.ext_degree))
+
+    def read_felts(self, n: int) -> list:
+        return [self.read_felt() for _ in range(n)]
+
+    def read_felts_ext(self, n: int) -> list:
+        return [self.read_felt_ext() for _ in range(n)]
+
+    def assert_consumed(self):
+        if self._pos != len(self._proof):
+            raise ValueError(
+                f"transcript: {len(self._proof) - self._pos} unread proof bytes"
+            )
