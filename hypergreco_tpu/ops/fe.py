@@ -1,0 +1,166 @@
+"""Generic device field-element dispatch: base/extension promotion over pytrees.
+
+Every device field element vector is a pytree of uint32 limb arrays (GL, GL2,
+later BN254 Fr). This module gives the MLE/sumcheck/GKR layers one generic
+API — add/sub/mul/scale/concat/halve/sum — with automatic base→extension
+promotion, so the proving engine is written once per protocol, not per field.
+
+Reference parity: the `PrimeField`/`ExtensionField` generic bounds that the
+reference's engine crates take everywhere (SURVEY.md §2.2 "Field/extension
+traits"); here the dispatch is by runtime pytree type instead of trait monos.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any
+
+import jax
+
+from ..fields import FieldSpec, GOLDILOCKS
+from . import gl as _gl
+from . import glext as _glext
+from .gl import GL
+from .glext import GL2
+
+
+@dataclass(frozen=True)
+class Backend:
+    """Device ops for one (base, extension) field pair."""
+
+    spec: FieldSpec
+    base: Any  # module with GL-style ops
+    ext: Any  # module with ext ops (== base when ext_degree == 1)
+    base_cls: type
+    ext_cls: type
+
+    # ----- classification / promotion -----
+
+    def is_ext(self, x) -> bool:
+        return isinstance(x, self.ext_cls) and not (
+            self.ext_cls is self.base_cls
+        ) or (self.ext_cls is self.base_cls and isinstance(x, self.base_cls))
+
+    def lift(self, x):
+        """Promote a base vector to the extension field."""
+        if isinstance(x, self.ext_cls) and self.ext_cls is not self.base_cls:
+            return x
+        if self.ext_cls is self.base_cls:
+            return x
+        return self.ext.from_base(x)
+
+    def _mod(self, x):
+        if self.ext_cls is not self.base_cls and isinstance(x, self.ext_cls):
+            return self.ext
+        return self.base
+
+    # ----- arithmetic with promotion -----
+
+    def add(self, x, y):
+        mx, my = self._mod(x), self._mod(y)
+        if mx is my:
+            return mx.add(x, y)
+        return self.ext.add(self.lift(x), self.lift(y))
+
+    def sub(self, x, y):
+        mx, my = self._mod(x), self._mod(y)
+        if mx is my:
+            return mx.sub(x, y)
+        return self.ext.sub(self.lift(x), self.lift(y))
+
+    def mul(self, x, y):
+        mx, my = self._mod(x), self._mod(y)
+        if mx is my:
+            return mx.mul(x, y)
+        # mixed: ext * base via the cheaper coefficient-wise product
+        if mx is self.ext:
+            return self.ext.mul_base(x, y)
+        return self.ext.mul_base(y, x)
+
+    def neg(self, x):
+        return self._mod(x).neg(x)
+
+    def scale(self, x, c):
+        """Multiply by a host scalar (int, or ext tuple)."""
+        if isinstance(c, tuple) and self.spec.ext_degree > 1 and any(c[1:]):
+            return self.mul(self.lift(x), self.ext.splat((), c))
+        c0 = c[0] if isinstance(c, tuple) else int(c)
+        return self._mod(x).scale(x, c0)
+
+    # ----- constructors -----
+
+    def zeros(self, shape, ext: bool = False):
+        return (self.ext if ext else self.base).zeros(shape)
+
+    def scalar(self, c, ext: bool = False):
+        if ext:
+            return self.ext.scalar(c if isinstance(c, tuple) else self.spec.ext(c))
+        return self.base.scalar(c if not isinstance(c, tuple) else c[0])
+
+    def from_ints(self, xs, ext: bool = False):
+        return (self.ext if ext else self.base).from_ints(xs)
+
+    def to_host(self, x) -> list:
+        """Device vector -> list of host scalars (ints or ext tuples)."""
+        if self._mod(x) is self.ext and self.ext_cls is not self.base_cls:
+            return self.ext.to_tuples(x)
+        return self.base.to_ints(x)
+
+    def to_host_scalar(self, x):
+        vals = self.to_host(x)
+        assert len(vals) == 1
+        return vals[0]
+
+    # ----- shape ops (generic over the limb pytree) -----
+
+    @staticmethod
+    def length(x) -> int:
+        return jax.tree.leaves(x)[0].shape[0]
+
+    @staticmethod
+    def halves(x):
+        n = Backend.length(x)
+        h = n // 2
+        return (
+            jax.tree.map(lambda a: a[:h], x),
+            jax.tree.map(lambda a: a[h:], x),
+        )
+
+    @staticmethod
+    def concat(xs):
+        import jax.numpy as jnp
+
+        return jax.tree.map(lambda *as_: jnp.concatenate(as_), *xs)
+
+    @staticmethod
+    def index(x, i):
+        return jax.tree.map(lambda a: a[i], x)
+
+    @staticmethod
+    def reshape(x, shape):
+        return jax.tree.map(lambda a: a.reshape(shape), x)
+
+    def sum(self, x):
+        """Field-sum of a [n]-vector -> 0-d element (log-depth halving tree)."""
+        n = self.length(x)
+        assert n & (n - 1) == 0, "sum requires power-of-two length"
+        while n > 1:
+            lo, hi = self.halves(x)
+            x = self.add(lo, hi)
+            n //= 2
+        return self.index(x, 0)
+
+
+GL_BACKEND = Backend(
+    spec=GOLDILOCKS, base=_gl, ext=_glext, base_cls=GL, ext_cls=GL2
+)
+
+_BACKENDS = {"goldilocks": GL_BACKEND}
+
+
+def get_backend(name: str) -> Backend:
+    return _BACKENDS[name]
+
+
+def register_backend(name: str, be: Backend):
+    _BACKENDS[name] = be

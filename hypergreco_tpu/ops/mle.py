@@ -1,0 +1,126 @@
+"""Dense multilinear-extension (MLE) tables on device.
+
+Conventions (DESIGN.md §2, matching the reference's succinct subtable MLEs,
+lasso/src/table/range.rs:19-26):
+- A v-variable MLE is a length-2^v device vector; index bit i (LSB = bit 0)
+  is variable i.
+- Points are LSB-first lists of host ext scalars: point[i] <-> variable i.
+- `evaluate` folds the MSB (top variable) first so each step operates on
+  contiguous halves — the TPU-friendly layout.
+
+Reference parity: `BoxMultilinearPoly` / `box_dense_poly` /
+`MultilinearPoly::{num_vars, evaluate}` and `MultilinearPolynomial::eq_xy`
+(SURVEY.md §2.2 "MLE poly library", "plonkish utilities").
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+
+from .fe import Backend, get_backend
+
+
+def num_vars(be: Backend, table) -> int:
+    n = be.length(table)
+    assert n & (n - 1) == 0
+    return n.bit_length() - 1
+
+
+def _point_to_device(be: Backend, point):
+    """Host LSB-first point -> device ext vector of shape [len(point)]."""
+    return be.from_ints([be.spec._c(r) for r in point], ext=True)
+
+
+@lru_cache(maxsize=None)
+def _evaluate_jit(be_name: str, v: int, ext: bool):
+    be = get_backend(be_name)
+
+    def run(table, point):
+        for j in reversed(range(v)):
+            r = be.index(point, j)
+            lo, hi = be.halves(table)
+            table = be.add(lo, be.mul(r, be.sub(hi, lo)))
+        return table
+
+    return jax.jit(run)
+
+
+def evaluate(be: Backend, table, point) -> tuple:
+    """Evaluate an MLE at an ext point; returns a host ext tuple."""
+    v = num_vars(be, table)
+    assert len(point) == v, (len(point), v)
+    if v == 0:
+        val = be.to_host_scalar(table)
+        return be.spec._c(val)
+    out = _evaluate_jit(be.spec.name, v, be._mod(table) is be.ext)(
+        table, _point_to_device(be, point)
+    )
+    return be.spec._c(be.to_host_scalar(out))
+
+
+@lru_cache(maxsize=None)
+def _eq_table_jit(be_name: str, v: int):
+    be = get_backend(be_name)
+
+    def run(point):
+        table = be.from_ints([be.spec.one], ext=True)
+        # variable j joins at the top bit of the doubled table, so processing
+        # j = 0 first leaves variable j at index bit j — the LSB-first layout.
+        for j in range(v):
+            r = be.index(point, j)
+            hi = be.mul(r, table)
+            table = be.concat([be.sub(table, hi), hi])
+        return table
+
+    return jax.jit(run)
+
+
+def eq_table(be: Backend, point):
+    """eq(point, x) as a dense 2^v ext table (x in LSB-first index order)."""
+    v = len(point)
+    return _eq_table_jit(be.spec.name, v)(_point_to_device(be, point))
+
+
+@lru_cache(maxsize=None)
+def _fold_jit(be_name: str, v: int, ext: bool):
+    be = get_backend(be_name)
+
+    def run(table, r):
+        lo, hi = be.halves(table)
+        return be.add(lo, be.mul(r, be.sub(hi, lo)))
+
+    return jax.jit(run)
+
+
+def fold(be: Backend, table, r):
+    """Bind the TOP variable (MSB) to host ext scalar r; halves the table."""
+    v = num_vars(be, table)
+    assert v >= 1
+    rdev = be.scalar(be.spec._c(r), ext=True)
+    return _fold_jit(be.spec.name, v, be._mod(table) is be.ext)(table, rdev)
+
+
+def eval_host(spec, dense: list, point: list):
+    """Host-side oracle: evaluate an int/ext-coefficient MLE at `point`."""
+    vals = [spec._c(x) for x in dense]
+    for r in reversed(point):
+        r = spec._c(r)
+        h = len(vals) // 2
+        vals = [
+            spec.eadd(vals[i], spec.emul(r, spec.esub(vals[h + i], vals[i])))
+            for i in range(h)
+        ]
+    return vals[0]
+
+
+def eq_eval(spec, x: list, y: list):
+    """Host eq(x, y) = prod_i (x_i y_i + (1-x_i)(1-y_i))."""
+    acc = spec.one
+    for xi, yi in zip(x, y):
+        xi, yi = spec._c(xi), spec._c(yi)
+        t = spec.emul(xi, yi)
+        u = spec.emul(spec.esub(spec.one, xi), spec.esub(spec.one, yi))
+        acc = spec.emul(acc, spec.eadd(t, u))
+    return acc
