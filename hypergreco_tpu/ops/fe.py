@@ -80,6 +80,10 @@ class Backend:
     def neg(self, x):
         return self._mod(x).neg(x)
 
+    def select(self, mask, x, y):
+        """Elementwise mask ? x : y (same kind)."""
+        return self._mod(x).select(mask, x, y)
+
     def scale(self, x, c):
         """Multiply by a host scalar (int, or ext tuple)."""
         if isinstance(c, tuple) and self.spec.ext_degree > 1 and any(c[1:]):
@@ -141,7 +145,11 @@ class Backend:
         return jax.tree.map(lambda a: a.reshape(shape), x)
 
     def sum(self, x):
-        """Field-sum of a [n]-vector -> 0-d element (log-depth halving tree)."""
+        """Field-sum of a [n]-vector -> 0-d element (log-depth halving tree).
+
+        NOTE: only for small one-off reductions. Inside large fused programs
+        use sum_digest/digest_value — XLA re-executes the fused producer
+        chain at every tree level here (measured 2500x slowdown at 2^16)."""
         n = self.length(x)
         assert n & (n - 1) == 0, "sum requires power-of-two length"
         while n > 1:
@@ -149,6 +157,47 @@ class Backend:
             x = self.add(lo, hi)
             n //= 2
         return self.index(x, 0)
+
+    # ----- native-reduce modular sum (device digest + host finish) -----
+
+    _DIGEST_CHUNK = 1 << 15  # 2^15 * (2^16-1) < 2^31: uint32-safe column sums
+
+    def sum_digest(self, x):
+        """Device-side partial sum: per uint32 limb leaf, sum the 16-bit
+        halves in uint32 chunks via XLA's native reduce. Returns a pytree of
+        [m, 2] uint32 arrays; finish with digest_value on the host."""
+        import jax.numpy as jnp
+
+        def leaf(a):
+            n = a.shape[0]
+            a = a.reshape((max(1, n // self._DIGEST_CHUNK), -1))
+            lo = jnp.sum(a & 0xFFFF, axis=1, dtype=jnp.uint32)
+            hi = jnp.sum(a >> 16, axis=1, dtype=jnp.uint32)
+            return jnp.stack([lo, hi], axis=1)
+
+        return jax.tree.map(leaf, x)
+
+    def digest_value(self, dg):
+        """Host-side finish of sum_digest: -> int (base) or ext tuple.
+
+        Leaf convention: tree leaves are uint32 limb arrays, little-endian
+        limb order within each base coefficient (GL: [lo, hi]; GL2:
+        [a0.lo, a0.hi, a1.lo, a1.hi])."""
+        import numpy as np
+
+        leaves = jax.tree.leaves(dg)
+        nl = 2  # uint32 limbs per base coefficient
+        vals = []
+        for i in range(0, len(leaves), nl):
+            acc = 0
+            for j in range(nl):
+                d = np.asarray(leaves[i + j], dtype=np.uint64)
+                limb = int(d[:, 0].sum()) + (int(d[:, 1].sum()) << 16)
+                acc += limb << (32 * j)
+            vals.append(acc % self.spec.p)
+        if len(vals) == 1:
+            return vals[0]
+        return tuple(vals)
 
 
 GL_BACKEND = Backend(

@@ -19,3 +19,9 @@ import jax  # noqa: E402
 # The environment's sitecustomize force-registers the 'axon' TPU platform and
 # prepends it to jax_platforms; tests must run on the virtual CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: cold XLA compiles dominate test wall-time
+# (~1s per program even on CPU); warm runs hit the cache.
+from hypergreco_tpu import runtime  # noqa: E402
+
+runtime.init()
