@@ -185,16 +185,24 @@ def _kinds(be: Backend, tables) -> tuple:
     return tuple(be._mod(T) is be.ext for T in tables)
 
 
-def prove_sum_check(be, expr, coeffs, claim, tables, transcript):
+def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
     """Returns (final_claim, point_lsb_first, final_table_evals).
 
     `tables` may be base- or ext-field device vectors of equal power-of-two
-    length 2^v, v >= 1; they are consumed (buffers reused across rounds).
+    length 2^V, V >= 1; they are consumed (buffers reused across rounds).
+
+    `num_vars` (default: buffer vars V) declares the ACTIVE var count v <= V:
+    the sum ranges over the first 2^v entries and v rounds are played, but
+    the buffers keep their padded size — so callers with many differently
+    sized instances (e.g. grand-product tree layers) share ONE compiled
+    program per expression. Padding values beyond the active prefix are
+    arbitrary: sums are masked and folds never read them.
     """
     spec = be.spec
-    v = mle.num_vars(be, tables[0])
-    assert all(mle.num_vars(be, T) == v for T in tables)
-    assert v >= 1
+    bv = mle.num_vars(be, tables[0])
+    assert all(mle.num_vars(be, T) == bv for T in tables)
+    v = bv if num_vars is None else num_vars
+    assert 1 <= v <= bv
     assert len(tables) == expr.num_tables
     cdev = be.from_ints([spec._c(c) for c in coeffs], ext=True)
     ekey = expr.key()
@@ -205,7 +213,7 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript):
     challenges = []
     for rnd in range(v):
         n2 = jnp.int32(1 << (v - rnd - 1))  # half of post-fold active length
-        fn = _round_jit(spec.name, ekey, v, _kinds(be, tables), fold=rnd > 0)
+        fn = _round_jit(spec.name, ekey, bv, _kinds(be, tables), fold=rnd > 0)
         tables, digests = fn(tables, cdev, r, n2)
         evals = [be.digest_value(dg) for dg in digests]
         transcript.write_felts_ext(evals)
