@@ -23,13 +23,15 @@ DESIGN.md §2).
 
 TPU/XLA mapping (each choice below was forced by measurement, see
 .claude/skills/verify/SKILL.md):
-  - Tables live in FIXED [2^v] buffers whose active prefix halves per round;
-    ONE compiled program serves every round (3 variants: round-0 no-fold,
-    round-1 base->ext fold, steady-state ext) instead of one per shape —
-    cold compiles cost seconds-to-minutes on the TPU tunnel.
-  - Binding the LSB makes fold/eval pure even/odd STATIC strided slices
-    (fold writes the half-length result back with concat) — an earlier
-    MSB/dynamic_slice variant hit an XLA:CPU runtime deadlock (jaxlib 0.9.0).
+  - Tables live in FIXED [2^v] buffers; after k folds the active values sit
+    at stride 2^k (a fold combines T[i] and T[i+s] in place via one dynamic
+    rotation gather). ONE compiled program serves every round (3 variants:
+    round-0 no-fold, round-1 base->ext fold, steady-state ext) instead of
+    one per shape — cold compiles cost seconds-to-minutes on the TPU tunnel.
+    Earlier variants using concatenate re-padding or dynamic_slice made
+    XLA:CPU's fusion emitter (jaxlib 0.9.0) generate multi-MB kernels with
+    minutes-long compiles and runaway execution; the stride/gather layout
+    avoids both op kinds entirely in the hot program.
   - Round-poly points t = 2..d come from an add-chain (T_{t+1} = T_t + diff),
     not scalar multiplication — cheaper and avoids the same deadlock.
   - The modular sum over the hypercube is NOT a halving add-tree (XLA re-runs
@@ -107,76 +109,123 @@ def _eval_points(degree: int):
     return [0] + list(range(2, degree + 1))
 
 
-def _evens(T):
-    return jax.tree.map(lambda a: a[0::2], T)
+def _shift_cols(T, s, n: int):
+    """out[.., i] = T[.., (i + s) & (n-1)] — one dynamic gather per limb
+    leaf. Concatenate/dynamic_slice variants blow up XLA:CPU's fusion
+    emitter into multi-MB kernels (see module docstring)."""
+    idx = (jnp.arange(n, dtype=jnp.int32) + s) & (n - 1)
+    return jax.tree.map(lambda a: a[..., idx], T)
 
 
-def _odds(T):
-    return jax.tree.map(lambda a: a[1::2], T)
+def _rows(T, idx):
+    """Static row gather of a stacked [T, N] pytree."""
+    return jax.tree.map(lambda a: a[idx, :], T)
+
+
+# terms per product block: bounds the [block, N] intermediate and keeps one
+# digest per block (host sums them — digests are additive)
+_TERM_BLOCK = 16
+
+
+def _expr_layout(expr_key: tuple, num_coeffs: int, degree: int):
+    """Per factor position, the table-row index of each term (ones row =
+    num_tables); per term, its coeff index (one slot = num_coeffs)."""
+    import numpy as np
+
+    num_tables, terms = expr_key
+    fidx = [[] for _ in range(degree)]
+    cidx = []
+    for ci, factors in terms:
+        fs = list(factors) + [num_tables] * (degree - len(factors))
+        for k in range(degree):
+            fidx[k].append(fs[k])
+        cidx.append(ci if ci is not None else num_coeffs)
+    return (
+        [np.asarray(f, dtype=np.int32) for f in fidx],
+        np.asarray(cidx, dtype=np.int32),
+    )
 
 
 @lru_cache(maxsize=None)
-def _round_jit(be_name: str, expr_key: tuple, logn: int, kinds: tuple, fold: bool):
-    """One sumcheck round in a single dispatch over fixed [2^logn] buffers."""
+def _stack_jit(be_name: str, n_tables: int, logn: int, kinds: tuple):
+    """tables list -> one ext-lifted stacked [T+1, N] array (last row ones).
+    Stack/concat happens only here, at a materialization boundary."""
     be = get_backend(be_name)
-    num_tables, terms = expr_key
-    degree = max(len(f) for _, f in terms)
-    ts = _eval_points(degree)
-    H = (1 << logn) // 2
+    N = 1 << logn
 
-    def run(tables, coeffs, r, n2):
-        # n2: half of the active length AFTER this round's fold
-        if fold:
-            folded = []
-            for T in tables:
-                e, o = _evens(T), _odds(T)
-                F = be.add(e, be.mul(r, be.sub(o, e)))
-                folded.append(be.concat([F, F]))
-            tables = folded
-        los, his, diffs = [], [], []
-        for T in tables:
-            e, o = _evens(T), _odds(T)
-            los.append(e)
-            his.append(o)
-            diffs.append(be.sub(o, e))
-        mask = jnp.arange(H, dtype=jnp.int32) < n2
-        digests = []
-        cur = his
-        for t in ts:
-            if t == 0:
-                tabs = los
-            else:
-                # add-chain: cur(t) = cur(t-1) + diff, starting at his (t=1)
-                cur = [be.add(c, d) for c, d in zip(cur, diffs)]
-                tabs = cur
-            acc = None
-            for ci, factors in terms:
-                prod = tabs[factors[0]]
-                for f in factors[1:]:
-                    prod = be.mul(prod, tabs[f])
-                if ci is not None:
-                    prod = be.mul(prod, be.index(coeffs, ci))
-                acc = prod if acc is None else be.add(acc, prod)
-            acc = be.select(mask, be.lift(acc), be.zeros((H,), ext=True))
-            digests.append(be.sum_digest(acc))
-        return tables, digests
+    def run(tables):
+        lifted = [be.lift(T) for T in tables]
+        lifted.append(be.ext.ones((N,)))
+        return jax.tree.map(lambda *rows: jnp.stack(rows), *lifted)
 
     return jax.jit(run)
 
 
 @lru_cache(maxsize=None)
-def _final_fold_jit(be_name: str, n_tables: int, kinds: tuple):
-    """Bind the last challenge (active length 2 -> 1); emit final evals."""
+def _round_jit(be_name: str, expr_key: tuple, num_coeffs: int, logn: int, fold: bool):
+    """One sumcheck round in a single dispatch.
+
+    Stride layout over a stacked [T+1, 2^logn] ext buffer: after k folds the
+    active values sit at indices that are multiples of 2^k (within the first
+    `l_act` entries); a fold with stride s combines T[.., i] and T[.., i+s]
+    in place. Op count is O(degree * num_term_blocks), independent of the
+    table count — per-table unstacked variants made XLA:CPU compile time
+    explode with the number of tables."""
+    be = get_backend(be_name)
+    num_tables, terms = expr_key
+    degree = max(len(f) for _, f in terms)
+    ts = _eval_points(degree)
+    N = 1 << logn
+    fidx, cidx = _expr_layout(expr_key, num_coeffs, degree)
+    nterms = len(terms)
+
+    def run(stk, coeffs1, r, sc, l_act):
+        # sc: active stride for THIS round's evals (2^rnd); the entry fold
+        # (rounds >= 1) uses stride sc//2. l_act = 2^active_vars.
+        # The ones row is invariant under folds: 1 + r*(1-1) = 1.
+        if fold:
+            hi = _shift_cols(stk, sc // 2, N)
+            stk = be.add(stk, be.mul(r, be.sub(hi, stk)))
+        his = _shift_cols(stk, sc, N)
+        diffs = be.sub(his, stk)
+        x = jnp.arange(N, dtype=jnp.int32)
+        mask = (((x & (2 * sc - 1)) == 0) & (x < l_act))[None, :]
+        digests = []
+        cur = his
+        for t in ts:
+            if t == 0:
+                tabs = stk
+            else:
+                # add-chain: cur(t) = cur(t-1) + diff, starting at his (t=1)
+                cur = be.add(cur, diffs)
+                tabs = cur
+            blk_digests = []
+            for lo in range(0, nterms, _TERM_BLOCK):
+                sl = slice(lo, min(lo + _TERM_BLOCK, nterms))
+                prod = _rows(tabs, fidx[0][sl])
+                for k in range(1, degree):
+                    prod = be.mul(prod, _rows(tabs, fidx[k][sl]))
+                ci_blk = cidx[sl]
+                cs = jax.tree.map(lambda a: a[ci_blk, None], coeffs1)
+                prod = be.mul(prod, cs)
+                b = sl.stop - sl.start
+                prod = be.select(mask, prod, be.ext.zeros((b, N)))
+                blk_digests.append(be.sum_digest(prod))
+            digests.append(blk_digests)
+        return stk, digests
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _final_fold_jit(be_name: str, n_tables: int, logn: int):
+    """Bind the last challenge (active pair at 0 and s); emit final evals."""
     be = get_backend(be_name)
 
-    def run(tables, r):
-        out = []
-        for T in tables:
-            e = be.index(T, 0)
-            o = be.index(T, 1)
-            F = be.add(e, be.mul(r, be.sub(o, e)))
-            out.append(be.reshape(be.lift(F), (1,)))
-        return be.concat(out)
+    def run(stk, r, s):
+        e = jax.tree.map(lambda a: a[:n_tables, 0], stk)
+        o = jax.tree.map(lambda a: a[:n_tables, s], stk)
+        return be.add(e, be.mul(r, be.sub(o, e)))
 
     return jax.jit(run)
 
@@ -195,8 +244,8 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
     the sum ranges over the first 2^v entries and v rounds are played, but
     the buffers keep their padded size — so callers with many differently
     sized instances (e.g. grand-product tree layers) share ONE compiled
-    program per expression. Padding values beyond the active prefix are
-    arbitrary: sums are masked and folds never read them.
+    program per expression. Padding values beyond the first 2^v entries are
+    arbitrary: sums are masked and active lanes never read them.
     """
     spec = be.spec
     bv = mle.num_vars(be, tables[0])
@@ -204,18 +253,25 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
     v = bv if num_vars is None else num_vars
     assert 1 <= v <= bv
     assert len(tables) == expr.num_tables
-    cdev = be.from_ints([spec._c(c) for c in coeffs], ext=True)
+    cdev = be.from_ints([spec._c(c) for c in coeffs] + [spec.one], ext=True)
     ekey = expr.key()
     degree = expr.degree
 
+    stk = _stack_jit(spec.name, len(tables), bv, _kinds(be, tables))(tables)
     r = be.scalar(spec.zero, ext=True)  # unused in round 0
     claim = spec._c(claim)
+    l_act = jnp.int32(1 << v)
     challenges = []
     for rnd in range(v):
-        n2 = jnp.int32(1 << (v - rnd - 1))  # half of post-fold active length
-        fn = _round_jit(spec.name, ekey, bv, _kinds(be, tables), fold=rnd > 0)
-        tables, digests = fn(tables, cdev, r, n2)
-        evals = [be.digest_value(dg) for dg in digests]
+        sc = jnp.int32(1 << rnd)  # active stride for this round's evals
+        fn = _round_jit(spec.name, ekey, len(coeffs), bv, fold=rnd > 0)
+        stk, digests = fn(stk, cdev, r, sc, l_act)
+        evals = []
+        for blk_digests in digests:
+            acc = spec.zero
+            for dg in blk_digests:
+                acc = spec.eadd(acc, spec._c(be.digest_value(dg)))
+            evals.append(acc)
         transcript.write_felts_ext(evals)
         rj = transcript.squeeze_challenge()
         challenges.append(rj)
@@ -223,8 +279,8 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
         claim = lagrange_interp_eval(spec, ys, rj)
         r = be.scalar(rj, ext=True)
 
-    final_dev = _final_fold_jit(spec.name, len(tables), _kinds(be, tables))(
-        tables, r
+    final_dev = _final_fold_jit(spec.name, len(tables), bv)(
+        stk, r, jnp.int32(1 << (v - 1))
     )
     final_evals = [spec._c(x) for x in be.to_host(final_dev)]
     return claim, challenges, final_evals

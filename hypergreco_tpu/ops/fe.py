@@ -169,6 +169,7 @@ class Backend:
         import jax.numpy as jnp
 
         def leaf(a):
+            a = a.reshape(-1)  # digest any shape (e.g. stacked [T, N])
             n = a.shape[0]
             a = a.reshape((max(1, n // self._DIGEST_CHUNK), -1))
             lo = jnp.sum(a & 0xFFFF, axis=1, dtype=jnp.uint32)
