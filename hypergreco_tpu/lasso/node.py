@@ -1,0 +1,301 @@
+"""LassoNode: batched range-lookup argument as a GKR claim-reduction node.
+
+Protocol (lasso.rs:57-139 parity, with documented fixes):
+ prove(inputs):
+   1. polynomialize: dims (limb extraction), per-memory read/final counters,
+      E-polys — all on device (the reference's sequential counter loop,
+      lasso.rs:181-196, becomes stable-argsort + rank-in-group + scatter).
+   2. squeeze r (num_vars ext challenges); write claimed_sum = inputs~(r).
+   3. collation sumcheck:
+        inputs~(r) = sum_x eq(r,x) * sum_m M^dim(m) * S_m(x) * E_m(x)
+      with PUBLIC memory selectors S_m (the reference drops flags and
+      weights by flat memory index, lasso.rs:463-470 — wrong for circuits
+      whose lookups don't map to prefix memories; see PROTOCOL.md).
+      Prover then writes the E_m openings at the sumcheck point.
+   4. squeeze gamma, tau; memory checking (memory_checking.py).
+   5. returns the input eval claim [(r, claimed_sum)].
+ verify mirrors, evaluating eq/S_m MLEs itself and the subtable MLEs in
+ closed form (verifier-side preprocessing has no materialized tables).
+
+Current scope: M = 2^16, C <= 4 (the 64-bit Goldilocks value fits in 4
+limbs; matches the reference's LIMB_BITS=16, C=4 constants,
+sk_encryption_circuit.rs:29-31).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import FieldSpec
+from ..gkr.sumcheck import SumcheckExpr, Term, prove_sum_check, verify_sum_check
+from ..ops import mle
+from ..ops.fe import Backend, get_backend
+from ..ops.gl import GL
+from . import memory_checking as mc
+from .selectors import RowSelector
+from .tables import LassoPreprocessing
+
+
+def lookups_to_selectors(lookup_ids: List[str], num_vars: int):
+    """Row->lookup-id list (public) -> per-lookup-id RowSelector."""
+    runs = {}
+    i = 0
+    n = len(lookup_ids)
+    while i < n:
+        j = i
+        while j < n and lookup_ids[j] == lookup_ids[i]:
+            j += 1
+        runs.setdefault(lookup_ids[i], []).append((i, j))
+        i = j
+    return {
+        lid: RowSelector.from_intervals(num_vars, ivs)
+        for lid, ivs in runs.items()
+    }
+
+
+@lru_cache(maxsize=None)
+def _dims_jit(be_name: str, logl: int, num_chunks: int):
+    """GL inputs [L] -> per-chunk int32 addresses (16-bit limb extraction)."""
+
+    def run(inputs):
+        lo, hi = inputs.lo, inputs.hi
+        chunks = [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
+        return [c.astype(jnp.int32) for c in chunks[:num_chunks]]
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _counters_jit(be_name: str, logl: int, logm: int):
+    """(addr int32 [L], sel int32 [L]) -> (read_ts int32 [L], final int32 [M]).
+
+    read_ts[j] = #{j' < j : sel[j'] and addr[j'] == addr[j]} for selected j;
+    equals the reference's sequential per-address counter (lasso.rs:181-196),
+    computed as stable-argsort by address + rank within equal-address group."""
+    L = 1 << logl
+    M = 1 << logm
+
+    def run(addr, sel):
+        key = jnp.where(sel > 0, addr, M)  # sentinel for unselected rows
+        order = jnp.argsort(key, stable=True)
+        skey = key[order]
+        first = jnp.searchsorted(skey, skey, side="left")
+        ranks = jnp.arange(L, dtype=jnp.int32) - first.astype(jnp.int32)
+        read_ts = jnp.zeros(L, dtype=jnp.int32).at[order].set(ranks)
+        read_ts = jnp.where(sel > 0, read_ts, 0)
+        final = (
+            jnp.zeros(M + 1, dtype=jnp.int32)
+            .at[key]
+            .add(1, mode="drop")[:M]
+        )
+        return read_ts, final
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _epoly_jit(be_name: str, logl: int, logm: int):
+    """E[j] = sel[j] ? T[addr[j]] : 0 (gather + mask)."""
+    be = get_backend(be_name)
+
+    def run(addr, sel, table):
+        g = jax.tree.map(lambda a: a[addr], table)
+        return be.select(sel > 0, g, be.zeros(addr.shape))
+
+    return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _int_to_gl_jit(be_name: str, shape_key: tuple):
+    def run(x):
+        return GL(x.astype(jnp.uint32), jnp.zeros_like(x, dtype=jnp.uint32))
+
+    return jax.jit(run)
+
+
+def _as_gl(be, x):
+    return _int_to_gl_jit(be.spec.name, tuple(x.shape))(x)
+
+
+class LassoNode:
+    """One batched lookup node (reference: LassoNode<F,E,C,M>, lasso.rs:31)."""
+
+    def __init__(
+        self,
+        be: Backend,
+        pp: LassoPreprocessing,
+        num_vars: int,
+        lookups: List[str],
+    ):
+        assert pp.M == 1 << 16, "current device path assumes 16-bit limbs"
+        assert len(lookups) <= 1 << num_vars
+        self.be = be
+        self.pp = pp
+        self.num_vars = num_vars
+        self.logm = pp.M.bit_length() - 1
+        self.lookups = lookups
+        self.num_chunks = (
+            max(pp.memory_to_dimension_index) + 1 if pp.num_memories else 0
+        )
+        assert self.num_chunks <= 4
+
+        lookup_sels = lookups_to_selectors(lookups, num_vars)
+        self.memory_selectors = []
+        for m in range(pp.num_memories):
+            users = [
+                lid
+                for li, lid in enumerate(pp.lookup_ids)
+                if m in pp.lookup_to_memory_indices[li] and lid in lookup_sels
+            ]
+            sels = [lookup_sels[lid] for lid in users]
+            if sels:
+                self.memory_selectors.append(RowSelector.union(sels))
+            else:
+                self.memory_selectors.append(
+                    RowSelector.from_intervals(num_vars, [])
+                )
+        self.weights = [pp.weight(m) for m in range(pp.num_memories)]
+
+    # ------------------------------------------------------------------
+    # witness generation (device)
+    # ------------------------------------------------------------------
+
+    def polynomialize(self, inputs):
+        """inputs: GL [2^num_vars] lookup values (shifted, in-range).
+        Returns (witnesses, dims_by_chunk) for memory checking + collation."""
+        be = self.be
+        pp = self.pp
+        L = 1 << self.num_vars
+        dims_int = _dims_jit(be.spec.name, self.num_vars, self.num_chunks)(inputs)
+        dims_gl = [_as_gl(be, d) for d in dims_int]
+
+        sub_dev = [be.from_ints(t) for t in pp.materialized]
+        sel_int = [
+            jnp.asarray(np.asarray(s.dense(), dtype=np.int32))
+            for s in self.memory_selectors
+        ]
+        witnesses = []
+        for m in range(pp.num_memories):
+            c = pp.memory_to_dimension_index[m]
+            st = pp.memory_to_subtable_index[m]
+            ts, final = _counters_jit(be.spec.name, self.num_vars, self.logm)(
+                dims_int[c], sel_int[m]
+            )
+            e = _epoly_jit(be.spec.name, self.num_vars, self.logm)(
+                dims_int[c], sel_int[m], sub_dev[st]
+            )
+            witnesses.append(
+                mc.MemoryWitness(
+                    dim=dims_gl[c],
+                    e=e,
+                    read_ts=_as_gl(be, ts),
+                    final_cts=_as_gl(be, final),
+                    subtable=sub_dev[st],
+                    selector=self.memory_selectors[m],
+                    sel_dense=_as_gl(be, sel_int[m]),
+                )
+            )
+        return witnesses, dims_gl
+
+    # ------------------------------------------------------------------
+    # collation
+    # ------------------------------------------------------------------
+
+    def _collation_expr(self):
+        terms = [
+            Term(m, (0, 1 + 2 * m, 2 + 2 * m))
+            for m in range(self.pp.num_memories)
+        ]
+        return SumcheckExpr(terms, 1 + 2 * self.pp.num_memories)
+
+    def prove_claim_reduction(self, inputs, transcript):
+        """inputs: GL [2^num_vars] (the node's single input MLE).
+        Returns [(point, claim)] for the input node."""
+        be = self.be
+        spec = be.spec
+        witnesses, dims_gl = self.polynomialize(inputs)
+
+        r = transcript.squeeze_challenges(self.num_vars)
+        claimed_sum = mle.evaluate(be, inputs, r)
+        transcript.write_felt_ext(claimed_sum)
+
+        expr = self._collation_expr()
+        tables = [mle.eq_table(be, r)]
+        for m, w in enumerate(witnesses):
+            tables.extend([w.sel_dense, w.e])
+        fclaim, x, fevals = prove_sum_check(
+            be, expr, self.weights, claimed_sum, tables, transcript
+        )
+        e_openings = [fevals[2 + 2 * m] for m in range(self.pp.num_memories)]
+        transcript.write_felts_ext(e_openings)
+
+        gamma = transcript.squeeze_challenge()
+        tau = transcript.squeeze_challenge()
+        mc.prove_memory_checking(
+            be,
+            witnesses,
+            self.pp.memory_to_dimension_index,
+            dims_gl,
+            gamma,
+            tau,
+            transcript,
+        )
+        return [(r, claimed_sum)]
+
+    def verify_claim_reduction(self, transcript):
+        spec = self.be.spec
+        pp = self.pp
+        r = transcript.squeeze_challenges(self.num_vars)
+        claimed_sum = transcript.read_felt_ext()
+
+        fclaim, x = verify_sum_check(
+            spec, 3, self.num_vars, claimed_sum, transcript
+        )
+        e_open = transcript.read_felts_ext(pp.num_memories)
+        eq_eval = mle.eq_eval(spec, r, x)
+        acc = spec.zero
+        for m in range(pp.num_memories):
+            sel_eval = self.memory_selectors[m].evaluate_mle(spec, x)
+            acc = spec.eadd(
+                acc,
+                spec.escale(
+                    spec.emul(sel_eval, spec._c(e_open[m])), self.weights[m]
+                ),
+            )
+        if spec.emul(eq_eval, acc) != fclaim:
+            raise ValueError("lasso: collation claim mismatch")
+
+        gamma = transcript.squeeze_challenge()
+        tau = transcript.squeeze_challenge()
+
+        shapes = []
+        for m in range(pp.num_memories):
+            st = pp.subtables[pp.memory_to_subtable_index[m]]
+            shapes.append(
+                mc.MemoryShape(
+                    selector=self.memory_selectors[m],
+                    table_mle=(
+                        lambda spec_, point, st_=st: st_.evaluate_mle(
+                            spec_, point, pp.M
+                        )
+                    ),
+                    chunk_index=pp.memory_to_dimension_index[m],
+                )
+            )
+        mc.verify_memory_checking(
+            spec,
+            shapes,
+            self.num_chunks,
+            self.num_vars,
+            self.logm,
+            gamma,
+            tau,
+            transcript,
+        )
+        return [(r, claimed_sum)]
