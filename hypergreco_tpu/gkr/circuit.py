@@ -1,0 +1,665 @@
+"""GKR circuit runtime: DAG of claim-reducing nodes.
+
+Reference parity: the external `gkr` crate's circuit layer reconstructed from
+its usage (SURVEY.md §2.2): `Circuit::{insert, connect, evaluate}`,
+`InputNode`, `VanillaNode`+`VanillaGate`, `FftNode`, `prove_gkr`/`verify_gkr`
+(sk_encryption_circuit.rs:86-293, 433-457, 503-516).
+
+Claim-reduction design (self-defined message formats; the fork is offline):
+
+* Multiple claims on one node are merged by an alpha-RLC (squeeze alpha,
+  combined value = sum alpha^i v_i, combined eq table Eq = sum alpha^i
+  eq(r_i)) — the CombinedEvalClaim analog.
+
+* VanillaNode (out[rep*G + g] = gate_g over per-rep input slices): proven
+  Libra-style in TWO batched sumchecks over the per-poly input index space,
+  with prover-side O(Y) scatters instead of sparse wiring walks:
+    phase 1 (deg 2):  combined - <Eq, const> =
+        sum_j [ sum_p A_p(j) in_p(j) + sum_q H_q(j) in_{pa_q}(j) ]
+      A_p(j) = sum_y Eq(y) lincoef(y) [src(y) = (p, j)]      (public scatter)
+      H_q(j) = sum_y Eq(y) qcoef(y) in(b_q(y)) [a_q(y) = j]  (witness scatter)
+    phase 2 (deg 2, only with quadratic gates): claims sum_q beta^q H_q~(u)
+      reduce through W_q(k) = sum_y Eq(y) qcoef(y) eq_u(a_q(y)) [b_q(y) = k].
+  The verifier recomputes A_p~/W_q~ itself on device from the public wiring
+  (device-assisted verifier — the protocol has no succinct-verifier claim
+  anyway: the reference verifier already holds all inputs, README.md:15).
+
+* FftNode: out~(r) = sum_j d_r(j) in(j) with the DFT-row MLE table d_r
+  (ops/ntt.py) — one deg-2 sumcheck; the verifier recomputes d~(u) on device.
+
+* LassoNode: adapter over lasso/node.py (ignores the incoming claim like the
+  reference, lasso.rs:58-63; exports the input claim (r, input~(r))).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import mle, ntt
+from ..ops.fe import Backend, get_backend
+from ..ops.gl import GL
+from .sumcheck import SumcheckExpr, Term, prove_sum_check, verify_sum_check
+
+
+# ---------------------------------------------------------------------------
+# gates
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class VanillaGate:
+    """out = const + sum coef*in(w) + sum coef*in(w0)*in(w1); wires are
+    (input_poly, index-within-rep-slice) pairs (VanillaGate parity,
+    sk_encryption_circuit.rs:98-114, 525-531)."""
+
+    const: Optional[int] = None
+    linear: Tuple = ()  # ((coef|None, (poly, idx)), ...)
+    quadratic: Tuple = ()  # ((coef|None, (p0, i0), (p1, i1)), ...)
+
+    @staticmethod
+    def relay(w):
+        return VanillaGate(None, ((None, w),), ())
+
+    @staticmethod
+    def constant(c: int):
+        return VanillaGate(c, (), ())
+
+    @staticmethod
+    def mul(w0, w1):
+        return VanillaGate(None, (), ((None, w0, w1),))
+
+    @staticmethod
+    def sum_gate(ws):
+        return VanillaGate(None, tuple((None, w) for w in ws), ())
+
+    @staticmethod
+    def new(const, linear, quadratic):
+        return VanillaGate(const, tuple(linear), tuple(quadratic))
+
+
+def relay_mul_const(w, c: int) -> VanillaGate:
+    return VanillaGate.new(None, [(c, w)], [])
+
+
+def relay_add_const(w, c: int) -> VanillaGate:
+    return VanillaGate.new(c, [(None, w)], [])
+
+
+# ---------------------------------------------------------------------------
+# nodes
+# ---------------------------------------------------------------------------
+
+
+class Node:
+    def is_input(self) -> bool:
+        return False
+
+    def log2_output_size(self) -> int:
+        raise NotImplementedError
+
+    def evaluate(self, be: Backend, inputs: list):
+        raise NotImplementedError
+
+    def prove_claim_reduction(self, be, claims, inputs, transcript):
+        raise NotImplementedError
+
+    def verify_claim_reduction(self, be, claims, transcript):
+        raise NotImplementedError
+
+
+class InputNode(Node):
+    def __init__(self, log2_size: int, num_reps: int = 1):
+        self.log2_size = log2_size
+        self.num_reps = num_reps
+
+    def is_input(self) -> bool:
+        return True
+
+    def log2_output_size(self) -> int:
+        return self.log2_size + (self.num_reps.bit_length() - 1)
+
+
+def _combine_claims(be, claims, transcript):
+    """alpha-RLC of (point, value) claims; returns (points, alphas, value)."""
+    spec = be.spec
+    points = [c[0] for c in claims]
+    values = [spec._c(c[1]) for c in claims]
+    if len(claims) == 1:
+        return points, [spec.one], values[0]
+    alpha = transcript.squeeze_challenge()
+    alphas = [spec.epow(alpha, i) for i in range(len(claims))]
+    combined = spec.zero
+    for a, v in zip(alphas, values):
+        combined = spec.eadd(combined, spec.emul(a, v))
+    return points, alphas, combined
+
+
+@lru_cache(maxsize=None)
+def _eq_rlc_jit(be_name: str, v: int, npts: int):
+    """Eq(x) = sum_i alphas[i] * eq(points[i], x) as a dense [2^v] ext table
+    (bit-product form: no concatenation)."""
+    be = get_backend(be_name)
+    N = 1 << v
+
+    def run(points, alphas):
+        x = jnp.arange(N, dtype=jnp.uint32)
+        acc = None
+        for i in range(npts):
+            prod = None
+            for b in range(v):
+                rb = be.index(points, (i, b))
+                bit = ((x >> b) & 1) == 1
+                one_minus = be.sub(be.ext.ones(()), rb)
+                f = be.select(
+                    bit,
+                    be.mul(rb, be.ext.ones((N,))),
+                    be.mul(one_minus, be.ext.ones((N,))),
+                )
+                prod = f if prod is None else be.mul(prod, f)
+            term = be.mul(be.index(alphas, i), prod)
+            acc = term if acc is None else be.add(acc, term)
+        return acc
+
+    return jax.jit(run)
+
+
+def eq_rlc_table(be, points, alphas):
+    spec = be.spec
+    v = len(points[0])
+    assert all(len(p) == v for p in points)
+    pts = be.from_ints([spec._c(r) for pt in points for r in pt], ext=True)
+    pts = be.reshape(pts, (len(points), v))
+    al = be.from_ints([spec._c(a) for a in alphas], ext=True)
+    return _eq_rlc_jit(spec.name, v, len(points))(pts, al)
+
+
+class VanillaNode(Node):
+    """Layered gate node (VanillaNode parity). Output
+    out[rep*G + g] = gate_g evaluated on wires (p, i) -> in_p[rep*2^sub + i].
+    """
+
+    def __init__(self, num_input_polys, log2_sub_input_size, gates, num_reps=1):
+        G = len(gates)
+        assert G & (G - 1) == 0 and G > 0, "gate count must be a power of two"
+        assert num_reps & (num_reps - 1) == 0
+        self.P = num_input_polys
+        self.log2_sub = log2_sub_input_size
+        self.gates = list(gates)
+        self.R = num_reps
+        self.G = G
+        self.Y = G * num_reps
+        self.S = (1 << log2_sub_input_size) * num_reps  # per-poly input size
+        self._wiring = None
+        self._progs = {}
+
+    def log2_output_size(self) -> int:
+        return self.Y.bit_length() - 1
+
+    # ----- static wiring arrays -----
+
+    def _build_wiring(self):
+        if self._wiring is not None:
+            return self._wiring
+        G, R, Y, Ssub = self.G, self.R, self.Y, 1 << self.log2_sub
+        L1 = max((len(g.linear) for g in self.gates), default=0)
+        L2 = max((len(g.quadratic) for g in self.gates), default=0)
+        const = np.zeros(Y, dtype=np.uint64)
+        lin = [
+            {
+                "coef": np.zeros(Y, dtype=np.uint64),
+                "src": np.zeros(Y, dtype=np.int64),  # p*S + rep*Ssub + idx
+            }
+            for _ in range(L1)
+        ]
+        quad = [
+            {
+                "coef": np.zeros(Y, dtype=np.uint64),
+                "a": np.zeros(Y, dtype=np.int64),
+                "b": np.zeros(Y, dtype=np.int64),
+                "pa": set(),
+                "pb": set(),
+            }
+            for _ in range(L2)
+        ]
+        from ..fields import GOLDILOCKS  # base coeffs are < p (host ints)
+
+        p = GOLDILOCKS.p
+        for rep in range(R):
+            for g, gate in enumerate(self.gates):
+                y = rep * G + g
+                if gate.const is not None:
+                    const[y] = int(gate.const) % p
+                for s, (coef, (pl, idx)) in enumerate(gate.linear):
+                    lin[s]["coef"][y] = (
+                        1 if coef is None else int(coef) % p
+                    )
+                    lin[s]["src"][y] = pl * self.S + rep * Ssub + idx
+                for s, (coef, (pa, ia), (pb, ib)) in enumerate(gate.quadratic):
+                    quad[s]["coef"][y] = 1 if coef is None else int(coef) % p
+                    quad[s]["a"][y] = pa * self.S + rep * Ssub + ia
+                    quad[s]["b"][y] = pb * self.S + rep * Ssub + ib
+                    quad[s]["pa"].add(pa)
+                    quad[s]["pb"].add(pb)
+        for q in quad:
+            assert len(q["pa"]) == 1 and len(q["pb"]) == 1, (
+                "each quadratic slot must draw each side from one input poly"
+            )
+            q["pa"] = next(iter(q["pa"]))
+            q["pb"] = next(iter(q["pb"]))
+        self._wiring = (const, lin, quad)
+        return self._wiring
+
+    @staticmethod
+    def _gl_const(arr_u64):
+        return GL(
+            jnp.asarray((arr_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((arr_u64 >> np.uint64(32)).astype(np.uint32)),
+        )
+
+    # ----- forward evaluation -----
+
+    def evaluate(self, be: Backend, inputs: list):
+        const, lin, quad = self._build_wiring()
+        key = "eval"
+        if key not in self._progs:
+
+            def run(flat):
+                out = self._gl_const(const)
+                for sl in lin:
+                    src = sl["src"].astype(np.int32)
+                    g = jax.tree.map(lambda a: a[src], flat)
+                    out = be.add(out, be.mul(self._gl_const(sl["coef"]), g))
+                for sq in quad:
+                    ga = jax.tree.map(
+                        lambda a: a[sq["a"].astype(np.int32)], flat
+                    )
+                    gb = jax.tree.map(
+                        lambda a: a[sq["b"].astype(np.int32)], flat
+                    )
+                    out = be.add(
+                        out,
+                        be.mul(
+                            self._gl_const(sq["coef"]), be.mul(ga, gb)
+                        ),
+                    )
+                return out
+
+            self._progs[key] = jax.jit(run)
+        flat = _concat_flat(be, inputs, self.P, self.S)
+        return self._progs[key](flat)
+
+    # ----- claim reduction -----
+
+    def _phase1_parts(self, be, Eq, flat):
+        """Prover scatters: A_flat [P*S] and H_q tables [S] per quad slot."""
+        const, lin, quad = self._build_wiring()
+        P, S = self.P, self.S
+        key = "phase1"
+        if key not in self._progs:
+
+            def run(Eq, flat):
+                A = None
+                for sl in lin:
+                    vals = be.mul(Eq, self._gl_const(sl["coef"]))
+                    part = be.scatter_add_mod(
+                        jnp.asarray(sl["src"].astype(np.int32)), vals, P * S
+                    )
+                    A = part if A is None else be.add(A, part)
+                if A is None:
+                    A = be.zeros((P * S,), ext=True)
+                Hs = []
+                for sq in quad:
+                    gb = jax.tree.map(
+                        lambda a: a[sq["b"].astype(np.int32)], flat
+                    )
+                    vals = be.mul(
+                        be.mul(Eq, self._gl_const(sq["coef"])), gb
+                    )
+                    tgt = (sq["a"] - sq["pa"] * S).astype(np.int32)
+                    Hs.append(be.scatter_add_mod(jnp.asarray(tgt), vals, S))
+                # dot <Eq, const>
+                cdot = be.sum_digest(be.mul(Eq, self._gl_const(const)))
+                return A, Hs, cdot
+
+            self._progs[key] = jax.jit(run)
+        return self._progs[key](Eq, flat)
+
+    def _w_tables(self, be, Eq, eq_u):
+        const, lin, quad = self._build_wiring()
+        S = self.S
+        key = "w"
+        if key not in self._progs:
+
+            def run(Eq, eq_u):
+                Ws = []
+                for sq in quad:
+                    ga = (sq["a"] - sq["pa"] * S).astype(np.int32)
+                    gbt = (sq["b"] - sq["pb"] * S).astype(np.int32)
+                    vals = be.mul(
+                        be.mul(Eq, self._gl_const(sq["coef"])),
+                        jax.tree.map(lambda a: a[ga], eq_u),
+                    )
+                    Ws.append(be.scatter_add_mod(jnp.asarray(gbt), vals, S))
+                return Ws
+
+            self._progs[key] = jax.jit(run)
+        return self._progs[key](Eq, eq_u)
+
+    def _split_A(self, be, A_flat):
+        P, S = self.P, self.S
+        return [
+            jax.tree.map(lambda a: a[p * S : (p + 1) * S], A_flat)
+            for p in range(P)
+        ]
+
+    def _phase1_expr(self):
+        _, lin, quad = self._build_wiring()
+        # tables: [A_0, in_0, A_1, in_1, ..., H_0, H_1, ...]
+        terms = [Term(None, (2 * p, 2 * p + 1)) for p in range(self.P)]
+        for qi, sq in enumerate(quad):
+            terms.append(Term(None, (2 * self.P + qi, 2 * sq["pa"] + 1)))
+        return SumcheckExpr(terms, 2 * self.P + len(quad))
+
+    def prove_claim_reduction(self, be, claims, inputs, transcript):
+        spec = be.spec
+        const, lin, quad = self._build_wiring()
+        points, alphas, combined = _combine_claims(be, claims, transcript)
+        Eq = eq_rlc_table(be, points, alphas)
+        flat = _concat_flat(be, inputs, self.P, self.S)
+        A_flat, Hs, cdot = self._phase1_parts(be, Eq, flat)
+        cterm = spec._c(be.digest_value(cdot))
+        claim1 = spec.esub(combined, cterm)
+
+        tables = []
+        for p, A in enumerate(self._split_A(be, A_flat)):
+            tables.extend([A, inputs[p]])
+        tables.extend(Hs)
+        expr = self._phase1_expr()
+        fclaim, u, fevals = prove_sum_check(
+            be, expr, [], claim1, tables, transcript
+        )
+        in_evals = [fevals[2 * p + 1] for p in range(self.P)]
+        h_evals = [fevals[2 * self.P + qi] for qi in range(len(quad))]
+        transcript.write_felts_ext(in_evals + h_evals)
+
+        out_claims = [[(u, in_evals[p])] for p in range(self.P)]
+
+        if quad:
+            beta = transcript.squeeze_challenge()
+            betas = [spec.epow(beta, i) for i in range(len(quad))]
+            claim2 = spec.zero
+            for bq, hv in zip(betas, h_evals):
+                claim2 = spec.eadd(claim2, spec.emul(bq, spec._c(hv)))
+            eq_u = eq_rlc_table(be, [u], [spec.one])
+            Ws = self._w_tables(be, Eq, eq_u)
+            # tables: [W'_0 .. W'_{nq-1}, in_{pb} uniq...]
+            pbs = sorted({sq["pb"] for sq in quad})
+            pb_pos = {pb: len(quad) + i for i, pb in enumerate(pbs)}
+            tables2 = [be.scale(W, bq) for W, bq in zip(Ws, betas)]
+            tables2 += [inputs[pb] for pb in pbs]
+            terms2 = [
+                Term(None, (qi, pb_pos[sq["pb"]]))
+                for qi, sq in enumerate(quad)
+            ]
+            expr2 = SumcheckExpr(terms2, len(quad) + len(pbs))
+            fclaim2, v2, fevals2 = prove_sum_check(
+                be, expr2, [], claim2, tables2, transcript
+            )
+            pb_evals = [fevals2[pb_pos[pb]] for pb in pbs]
+            transcript.write_felts_ext(pb_evals)
+            for pb, ev in zip(pbs, pb_evals):
+                out_claims[pb].append((v2, ev))
+        return out_claims
+
+    def verify_claim_reduction(self, be, claims, transcript):
+        spec = be.spec
+        const, lin, quad = self._build_wiring()
+        points, alphas, combined = _combine_claims(be, claims, transcript)
+        Eq = eq_rlc_table(be, points, alphas)
+        # device-assisted public recompute of A and <Eq, const>
+        key = "verify_pub"
+        if key not in self._progs:
+
+            def run(Eq):
+                A = None
+                for sl in lin:
+                    vals = be.mul(Eq, self._gl_const(sl["coef"]))
+                    part = be.scatter_add_mod(
+                        jnp.asarray(sl["src"].astype(np.int32)),
+                        vals,
+                        self.P * self.S,
+                    )
+                    A = part if A is None else be.add(A, part)
+                if A is None:
+                    A = be.zeros((self.P * self.S,), ext=True)
+                cdot = be.sum_digest(be.mul(Eq, self._gl_const(const)))
+                return A, cdot
+
+            self._progs[key] = jax.jit(run)
+        A_flat, cdot = self._progs[key](Eq)
+        cterm = spec._c(be.digest_value(cdot))
+        claim1 = spec.esub(combined, cterm)
+
+        sv = self.S.bit_length() - 1
+        expr = self._phase1_expr()
+        fclaim, u = verify_sum_check(spec, expr.degree, sv, claim1, transcript)
+        evals = transcript.read_felts_ext(self.P + len(quad))
+        in_evals = evals[: self.P]
+        h_evals = evals[self.P :]
+        acc = spec.zero
+        for p, A in enumerate(self._split_A(be, A_flat)):
+            a_eval = mle.evaluate(be, A, u)
+            acc = spec.eadd(acc, spec.emul(a_eval, spec._c(in_evals[p])))
+        for qi, sq in enumerate(quad):
+            acc = spec.eadd(
+                acc,
+                spec.emul(spec._c(h_evals[qi]), spec._c(in_evals[sq["pa"]])),
+            )
+        if acc != fclaim:
+            raise ValueError("vanilla node: phase-1 claim mismatch")
+
+        out_claims = [[(u, in_evals[p])] for p in range(self.P)]
+        if quad:
+            beta = transcript.squeeze_challenge()
+            betas = [spec.epow(beta, i) for i in range(len(quad))]
+            claim2 = spec.zero
+            for bq, hv in zip(betas, h_evals):
+                claim2 = spec.eadd(claim2, spec.emul(bq, spec._c(hv)))
+            fclaim2, v2 = verify_sum_check(spec, 2, sv, claim2, transcript)
+            pbs = sorted({sq["pb"] for sq in quad})
+            pb_evals = transcript.read_felts_ext(len(pbs))
+            pb_map = dict(zip(pbs, pb_evals))
+            eq_u = eq_rlc_table(be, [u], [spec.one])
+            Ws = self._w_tables(be, Eq, eq_u)
+            acc2 = spec.zero
+            for qi, (sq, W) in enumerate(zip(quad, Ws)):
+                w_eval = mle.evaluate(be, W, v2)
+                acc2 = spec.eadd(
+                    acc2,
+                    spec.emul(
+                        spec.emul(betas[qi], w_eval),
+                        spec._c(pb_map[sq["pb"]]),
+                    ),
+                )
+            if acc2 != fclaim2:
+                raise ValueError("vanilla node: phase-2 claim mismatch")
+            for pb in pbs:
+                out_claims[pb].append((v2, pb_map[pb]))
+        return out_claims
+
+
+@lru_cache(maxsize=None)
+def _concat_jit(be_name: str, np_: int, s: int):
+    def run(inputs):
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs), *inputs)
+
+    return jax.jit(run)
+
+
+def _concat_flat(be, inputs, P, S):
+    assert len(inputs) == P
+    for x in inputs:
+        assert be.length(x) == S, (be.length(x), S)
+    if P == 1:
+        return inputs[0]
+    return _concat_jit(be.spec.name, P, S)(inputs)
+
+
+class FftNode(Node):
+    def __init__(self, log2_size: int, inverse: bool):
+        self.log2_size = log2_size
+        self.inverse = inverse
+
+    @staticmethod
+    def forward(log2_size: int) -> "FftNode":
+        return FftNode(log2_size, False)
+
+    @staticmethod
+    def inverse_node(log2_size: int) -> "FftNode":
+        return FftNode(log2_size, True)
+
+    def log2_output_size(self) -> int:
+        return self.log2_size
+
+    def evaluate(self, be: Backend, inputs: list):
+        (x,) = inputs
+        return ntt.ntt(be, x, inverse=self.inverse)
+
+    def prove_claim_reduction(self, be, claims, inputs, transcript):
+        spec = be.spec
+        points, alphas, combined = _combine_claims(be, claims, transcript)
+        d = ntt.dft_row_mle(be, points, alphas, self.log2_size, self.inverse)
+        expr = SumcheckExpr([Term(None, (0, 1))], 2)
+        fclaim, u, fevals = prove_sum_check(
+            be, expr, [], combined, [d, inputs[0]], transcript
+        )
+        transcript.write_felt_ext(fevals[1])
+        return [[(u, fevals[1])]]
+
+    def verify_claim_reduction(self, be, claims, transcript):
+        spec = be.spec
+        points, alphas, combined = _combine_claims(be, claims, transcript)
+        fclaim, u = verify_sum_check(
+            spec, 2, self.log2_size, combined, transcript
+        )
+        in_eval = transcript.read_felt_ext()
+        d = ntt.dft_row_mle(be, points, alphas, self.log2_size, self.inverse)
+        d_eval = mle.evaluate(be, d, u)
+        if spec.emul(d_eval, spec._c(in_eval)) != fclaim:
+            raise ValueError("fft node: claim mismatch")
+        return [[(u, in_eval)]]
+
+
+class LassoCircuitNode(Node):
+    """Adapter: lasso/node.py LassoNode as a circuit node. Ignores the
+    incoming claim (reference parity, lasso.rs:58-63); output is the scalar
+    zero polynomial."""
+
+    def __init__(self, lasso_node):
+        self.inner = lasso_node
+
+    def log2_output_size(self) -> int:
+        return 0
+
+    def evaluate(self, be: Backend, inputs: list):
+        return be.zeros((1,))
+
+    def prove_claim_reduction(self, be, claims, inputs, transcript):
+        return [self.inner.prove_claim_reduction(inputs[0], transcript)]
+
+    def verify_claim_reduction(self, be, claims, transcript):
+        return [self.inner.verify_claim_reduction(transcript)]
+
+
+# ---------------------------------------------------------------------------
+# circuit
+# ---------------------------------------------------------------------------
+
+
+class Circuit:
+    def __init__(self, be: Backend):
+        self.be = be
+        self.nodes: List[Node] = []
+        self.node_inputs: List[List[int]] = []
+
+    def insert(self, node: Node) -> int:
+        self.nodes.append(node)
+        self.node_inputs.append([])
+        return len(self.nodes) - 1
+
+    def connect(self, src: int, dst: int):
+        assert src < dst, "connections must follow insertion order"
+        self.node_inputs[dst].append(src)
+
+    def input_ids(self) -> List[int]:
+        return [i for i, n in enumerate(self.nodes) if n.is_input()]
+
+    def output_ids(self) -> List[int]:
+        used = {s for ins in self.node_inputs for s in ins}
+        return [i for i in range(len(self.nodes)) if i not in used]
+
+    def evaluate(self, inputs: list) -> list:
+        """inputs: device vectors for the input nodes (insertion order).
+        Returns per-node value vectors."""
+        it = iter(inputs)
+        values: List = []
+        for i, node in enumerate(self.nodes):
+            if node.is_input():
+                v = next(it)
+                assert self.be.length(v) == 1 << node.log2_output_size()
+                values.append(v)
+            else:
+                values.append(
+                    node.evaluate(
+                        self.be, [values[j] for j in self.node_inputs[i]]
+                    )
+                )
+        return values
+
+
+def prove_gkr(circuit: Circuit, values: list, output_claims: list, transcript):
+    """output_claims: [(point, value)] per output node (insertion order).
+    Returns claims per input node."""
+    be = circuit.be
+    claims = [[] for _ in circuit.nodes]
+    outs = circuit.output_ids()
+    assert len(output_claims) == len(outs)
+    for nid, cl in zip(outs, output_claims):
+        claims[nid] = [cl]
+    for nid in reversed(range(len(circuit.nodes))):
+        node = circuit.nodes[nid]
+        if node.is_input() or not claims[nid]:
+            continue
+        ins = circuit.node_inputs[nid]
+        child = node.prove_claim_reduction(
+            be, claims[nid], [values[j] for j in ins], transcript
+        )
+        assert len(child) == len(ins)
+        for cid, cls_ in zip(ins, child):
+            claims[cid].extend(cls_)
+    return [claims[i] for i in circuit.input_ids()]
+
+
+def verify_gkr(circuit: Circuit, output_claims: list, transcript):
+    be = circuit.be
+    claims = [[] for _ in circuit.nodes]
+    outs = circuit.output_ids()
+    assert len(output_claims) == len(outs)
+    for nid, cl in zip(outs, output_claims):
+        claims[nid] = [cl]
+    for nid in reversed(range(len(circuit.nodes))):
+        node = circuit.nodes[nid]
+        if node.is_input() or not claims[nid]:
+            continue
+        ins = circuit.node_inputs[nid]
+        child = node.verify_claim_reduction(be, claims[nid], transcript)
+        assert len(child) == len(ins)
+        for cid, cls_ in zip(ins, child):
+            claims[cid].extend(cls_)
+    return [claims[i] for i in circuit.input_ids()]

@@ -178,6 +178,42 @@ class Backend:
 
         return jax.tree.map(leaf, x)
 
+    def scatter_add_mod(self, idx, values, size: int):
+        """Field scatter-add: out[t] = sum over j with idx[j]==t of values[j].
+
+        Modular addition cannot use raw uint32 index_add (carries), so each
+        uint32 limb is split into 8-bit columns, column-wise index_add'ed
+        (column sums < #collisions * 255 — safe below 2^24 collisions), and
+        recombined mod p with field scale/add. idx: int32 [n] (entries == size
+        are dropped); values: base or ext vector [n]. Leaf convention as in
+        digest_value: uint32 limb leaves in little-endian pairs per base
+        coefficient."""
+        import jax.numpy as jnp
+
+        leaves = jax.tree.leaves(values)
+        assert len(leaves) % 2 == 0
+        out_base = []
+        for i in range(0, len(leaves), 2):
+            acc = None
+            for j in range(2):
+                limb = leaves[i + j]
+                for s in range(4):
+                    c = (limb >> (8 * s)) & 0xFF
+                    col = (
+                        jnp.zeros((size + 1,), dtype=jnp.uint32)
+                        .at[idx]
+                        .add(c, mode="drop")[:size]
+                    )
+                    v = self.base.scale(
+                        self.base_cls(col, jnp.zeros_like(col)),
+                        (1 << (8 * s + 32 * j)) % self.spec.p,
+                    )
+                    acc = v if acc is None else self.base.add(acc, v)
+            out_base.append(acc)
+        if len(out_base) == 1:
+            return out_base[0]
+        return self.ext_cls(*out_base)
+
     def digest_value(self, dg):
         """Host-side finish of sum_digest: -> int (base) or ext tuple.
 

@@ -1,0 +1,167 @@
+"""Number-theoretic transform over Goldilocks (cyclic DFT at 2^k roots).
+
+Semantics: NTT(x)[k] = sum_j x[j] * w^(jk), INTT = inverse with w^-1 and
+1/L scaling — the size-preserving DFT behind the reference's FftNode
+(sk_encryption_circuit.rs:224-260: polynomial products as
+FFT -> pointwise mul -> IFFT on 2n-padded coefficient vectors).
+
+Device mapping: bit-reverse permutation + log2(L) butterfly stages, each a
+single formula new[i] = x[p0[i]] + tw[i] * x[p1[i]] with HOST-precomputed
+static index/twiddle arrays (subtraction is folded into the twiddle sign).
+Pure gather + mul + add — no concatenate/dynamic_slice, which XLA:CPU's
+fusion emitter handles pathologically (see gkr/sumcheck.py).
+
+Also provides the DFT-row MLE table d_r[j] = prod_b ((1-r_b) + r_b*w^(j 2^b))
+used by the FftNode claim reduction: out~(r) = sum_j d_r[j] * in[j].
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import GOLDILOCKS
+from .fe import Backend, get_backend
+from .gl import GL, P
+
+
+@lru_cache(maxsize=None)
+def _plan(L: int, inverse: bool):
+    """Host-side butterfly plan: (bitrev, [(p0, p1, tw_lo, tw_hi)] stages)."""
+    logl = L.bit_length() - 1
+    assert 1 << logl == L
+    w = GOLDILOCKS.root_of_unity(L)
+    if inverse:
+        w = pow(w, P - 2, P)
+
+    bits = logl
+    bitrev = np.zeros(L, dtype=np.int32)
+    for i in range(L):
+        bitrev[i] = int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
+
+    stages = []
+    for s in range(1, logl + 1):
+        m = 1 << s
+        half = m // 2
+        wm = pow(w, L // m, P)
+        p0 = np.zeros(L, dtype=np.int32)
+        p1 = np.zeros(L, dtype=np.int32)
+        tw = np.zeros(L, dtype=object)
+        for i in range(L):
+            j = i & (m - 1)
+            if j < half:
+                p0[i] = i
+                p1[i] = i + half
+                tw[i] = pow(wm, j, P)
+            else:
+                p0[i] = i - half
+                p1[i] = i
+                tw[i] = P - pow(wm, j - half, P)
+        tw64 = np.array([int(t) for t in tw], dtype=np.uint64)
+        stages.append(
+            (
+                p0,
+                p1,
+                (tw64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                (tw64 >> np.uint64(32)).astype(np.uint32),
+            )
+        )
+    return bitrev, stages
+
+
+@lru_cache(maxsize=None)
+def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
+    be = get_backend(be_name)
+    L = 1 << logl
+    bitrev, stages = _plan(L, inverse)
+    linv = pow(L, P - 2, P)
+
+    def run(x):
+        x = jax.tree.map(lambda a: a[..., bitrev], x)
+        for p0, p1, tlo, thi in stages:
+            twid = GL(jnp.asarray(tlo), jnp.asarray(thi))
+            lo = jax.tree.map(lambda a: a[..., p0], x)
+            hi = jax.tree.map(lambda a: a[..., p1], x)
+            x = be.add(lo, be.mul(twid, hi))
+        if inverse:
+            x = be.scale(x, linv)
+        return x
+
+    return jax.jit(run)
+
+
+def ntt(be: Backend, x, inverse: bool = False):
+    """Cyclic NTT/INTT of a GL (or ext) vector; length must be 2^k <= 2^32."""
+    n = be.length(x)
+    logl = n.bit_length() - 1
+    assert 1 << logl == n
+    return _ntt_jit(be.spec.name, logl, inverse, be._mod(x) is be.ext)(x)
+
+
+# ---------------------------------------------------------------------------
+# DFT-row MLE tables for the FftNode claim reduction
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=None)
+def _wpow_table(L: int, inverse: bool):
+    w = GOLDILOCKS.root_of_unity(L)
+    if inverse:
+        w = pow(w, P - 2, P)
+    pows = np.zeros(L, dtype=np.uint64)
+    acc = 1
+    for j in range(L):
+        pows[j] = acc
+        acc = acc * w % P
+    return (
+        (pows & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+        (pows >> np.uint64(32)).astype(np.uint32),
+    )
+
+
+@lru_cache(maxsize=None)
+def _dr_jit(be_name: str, logl: int, inverse: bool, npoints: int):
+    """d(x) = sum_i alpha_i * prod_b ((1-r_ib) + r_ib * w^(x 2^b)),
+    the alpha-combined DFT-row MLE table (scaled by 1/L for inverse)."""
+    be = get_backend(be_name)
+    L = 1 << logl
+    wlo, whi = _wpow_table(L, inverse)
+    linv = pow(L, P - 2, P)
+
+    def run(points, alphas):
+        # points: ext [npoints, logl]; alphas: ext [npoints]
+        acc = None
+        wtab = GL(jnp.asarray(wlo), jnp.asarray(whi))
+        for i in range(npoints):
+            prod = None
+            for b in range(logl):
+                idx = (np.arange(L, dtype=np.int64) << b) % L
+                wb = jax.tree.map(lambda a: a[idx.astype(np.int32)], wtab)
+                rb = be.index(points, (i, b))
+                factor = be.add(
+                    be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb)
+                )
+                prod = factor if prod is None else be.mul(prod, factor)
+            term = be.mul(be.index(alphas, i), prod)
+            acc = term if acc is None else be.add(acc, term)
+        if inverse:
+            acc = be.scale(acc, linv)
+        return acc
+
+    return jax.jit(run)
+
+
+def dft_row_mle(be: Backend, points, alphas, logl: int, inverse: bool):
+    """points: list of ext points (each LSB-first, len logl); alphas: list of
+    ext scalars. Returns the combined d table as an ext device vector [2^logl].
+    """
+    spec = be.spec
+    pts = be.from_ints(
+        [spec._c(r) for pt in points for r in pt], ext=True
+    )
+    pts = be.reshape(pts, (len(points), logl))
+    al = be.from_ints([spec._c(a) for a in alphas], ext=True)
+    return _dr_jit(spec.name, logl, inverse, len(points))(pts, al)
