@@ -156,14 +156,14 @@ def _eq_rlc_jit(be_name: str, v: int, npts: int):
                 rb = be.index(points, (i, b))
                 bit = ((x >> b) & 1) == 1
                 one_minus = be.sub(be.ext.ones(()), rb)
-                f = be.select(
-                    bit,
-                    be.mul(rb, be.ext.ones((N,))),
-                    be.mul(one_minus, be.ext.ones((N,))),
-                )
+                f = be.select(bit, rb, one_minus)
                 prod = f if prod is None else be.mul(prod, f)
+                if (b + 1) % 3 == 0:
+                    prod = be.fusion_break(prod)
             term = be.mul(be.index(alphas, i), prod)
-            acc = term if acc is None else be.add(acc, term)
+            acc = be.fusion_break(
+                term if acc is None else be.add(acc, term)
+            )
         return acc
 
     return jax.jit(run)
@@ -185,8 +185,15 @@ class VanillaNode(Node):
     """
 
     def __init__(self, num_input_polys, log2_sub_input_size, gates, num_reps=1):
+        gates = list(gates)
+        # pad the gate list to a power of two with constant-zero gates (the
+        # reference's lasso_inputs_batched node is 5*2n gates for K=1 and its
+        # consumers treat the output as the padded 2^ceil size)
         G = len(gates)
-        assert G & (G - 1) == 0 and G > 0, "gate count must be a power of two"
+        Gp = 1 if G == 0 else 1 << (G - 1).bit_length()
+        gates.extend([VanillaGate.constant(0)] * (Gp - G))
+        G = Gp
+        assert G & (G - 1) == 0 and G > 0
         assert num_reps & (num_reps - 1) == 0
         self.P = num_input_polys
         self.log2_sub = log2_sub_input_size
@@ -591,11 +598,13 @@ class Circuit:
     def insert(self, node: Node) -> int:
         self.nodes.append(node)
         self.node_inputs.append([])
+        self._topo = None
         return len(self.nodes) - 1
 
     def connect(self, src: int, dst: int):
-        assert src < dst, "connections must follow insertion order"
+        assert src != dst
         self.node_inputs[dst].append(src)
+        self._topo = None
 
     def input_ids(self) -> List[int]:
         return [i for i, n in enumerate(self.nodes) if n.is_input()]
@@ -604,21 +613,48 @@ class Circuit:
         used = {s for ins in self.node_inputs for s in ins}
         return [i for i in range(len(self.nodes)) if i not in used]
 
+    def topo_order(self) -> List[int]:
+        """Deterministic (smallest-id-first) topological order; consumers may
+        be inserted before their producers (the reference builder does this
+        for sai -> sai_par, sk_encryption_circuit.rs:237-260)."""
+        if getattr(self, "_topo", None):
+            return self._topo
+        import heapq
+
+        n = len(self.nodes)
+        indeg = [len(ins) for ins in self.node_inputs]
+        consumers = [[] for _ in range(n)]
+        for dst, ins in enumerate(self.node_inputs):
+            for src in ins:
+                consumers[src].append(dst)
+        heap = [i for i in range(n) if indeg[i] == 0]
+        heapq.heapify(heap)
+        order = []
+        while heap:
+            i = heapq.heappop(heap)
+            order.append(i)
+            for d in consumers[i]:
+                indeg[d] -= 1
+                if indeg[d] == 0:
+                    heapq.heappush(heap, d)
+        assert len(order) == n, "circuit has a cycle"
+        self._topo = order
+        return order
+
     def evaluate(self, inputs: list) -> list:
         """inputs: device vectors for the input nodes (insertion order).
         Returns per-node value vectors."""
-        it = iter(inputs)
-        values: List = []
-        for i, node in enumerate(self.nodes):
+        it = {i: v for i, v in zip(self.input_ids(), inputs)}
+        values: List = [None] * len(self.nodes)
+        for i in self.topo_order():
+            node = self.nodes[i]
             if node.is_input():
-                v = next(it)
+                v = it[i]
                 assert self.be.length(v) == 1 << node.log2_output_size()
-                values.append(v)
+                values[i] = v
             else:
-                values.append(
-                    node.evaluate(
-                        self.be, [values[j] for j in self.node_inputs[i]]
-                    )
+                values[i] = node.evaluate(
+                    self.be, [values[j] for j in self.node_inputs[i]]
                 )
         return values
 
@@ -632,7 +668,7 @@ def prove_gkr(circuit: Circuit, values: list, output_claims: list, transcript):
     assert len(output_claims) == len(outs)
     for nid, cl in zip(outs, output_claims):
         claims[nid] = [cl]
-    for nid in reversed(range(len(circuit.nodes))):
+    for nid in reversed(circuit.topo_order()):
         node = circuit.nodes[nid]
         if node.is_input() or not claims[nid]:
             continue
@@ -653,7 +689,7 @@ def verify_gkr(circuit: Circuit, output_claims: list, transcript):
     assert len(output_claims) == len(outs)
     for nid, cl in zip(outs, output_claims):
         claims[nid] = [cl]
-    for nid in reversed(range(len(circuit.nodes))):
+    for nid in reversed(circuit.topo_order()):
         node = circuit.nodes[nid]
         if node.is_input() or not claims[nid]:
             continue

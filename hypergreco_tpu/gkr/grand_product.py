@@ -47,47 +47,80 @@ from .sumcheck import SumcheckExpr, Term, prove_sum_check, verify_sum_check
 
 @lru_cache(maxsize=None)
 def _build_layers_jit(be_name: str, m: int, logl: int, ext: bool):
-    """leaves list [M x [L]] -> (levels, roots): levels[j] = list of M [2^l]
-    arrays for l = logl-1 .. 1; roots = M scalars. Each level is an output,
-    hence materialized."""
+    """leaves list [M x [L]] -> (levels, roots): levels[j] = list of M arrays
+    for l = logl-1 .. 1, each PRE-PADDED to the shared sumcheck buffer size
+    L/2 (padding is a jit-output materialization boundary — cheap); roots =
+    M scalars."""
     be = get_backend(be_name)
+    import jax.numpy as jnp
+
+    buf = 1 << max(logl - 1, 1)
+
+    def pad(T, size):
+        if size == buf:
+            return T
+        return jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((buf - size,), dtype=a.dtype)]
+            ),
+            T,
+        )
 
     def run(leaves):
-        levels = []
+        # layers[j] = [(L_i, R_i) padded to buf] for l = logl-1 down to 1,
+        # where (L, R) are the halves of W_{l+1}
+        layers = []
         cur = leaves
         size = 1 << logl
         while size > 2:
-            size //= 2
-            cur = [
-                be.mul(
-                    jax.tree.map(lambda a: a[:size], T),
-                    jax.tree.map(lambda a: a[size:], T),
-                )
-                for T in cur
-            ]
-            levels.append(cur)
+            half = size // 2
+            Ls = [jax.tree.map(lambda a: a[:half], T) for T in cur]
+            Rs = [jax.tree.map(lambda a: a[half:], T) for T in cur]
+            layers.append(
+                [(pad(L, half), pad(R, half)) for L, R in zip(Ls, Rs)]
+            )
+            cur = [be.mul(L, R) for L, R in zip(Ls, Rs)]
+            size = half
+        w1 = cur  # W_1: two values per memory
         roots = [be.mul(be.index(T, 0), be.index(T, 1)) for T in cur]
-        return levels, roots
+        return layers, w1, roots
 
     return jax.jit(run)
 
 
 @lru_cache(maxsize=None)
-def _pad_jit(be_name: str, n: int, target: int, ext: bool):
+def _eq_dyn_jit(be_name: str, bufv: int):
+    """eq(point[:plen], x) over the first 2^plen entries of a [2^bufv]
+    buffer (garbage beyond — the engine masks): one program for ALL layer
+    sizes. Factors j >= plen are forced to 1 via a traced comparison."""
     be = get_backend(be_name)
+    import jax.numpy as jnp
 
-    def run(T):
-        z = (be.ext if ext else be.base).zeros((target - n,))
-        return be.concat([T, z])
+    N = 1 << bufv
+
+    def run(point, plen):
+        x = jnp.arange(N, dtype=jnp.uint32)
+        prod = None
+        for j in range(bufv):
+            rj = be.index(point, j)
+            one_minus = be.sub(be.ext.ones(()), rj)
+            f = be.select(((x >> j) & 1) == 1, rj, one_minus)
+            f = be.select(jnp.asarray(j) < plen, f, be.ext.ones((N,)))
+            prod = f if prod is None else be.mul(prod, f)
+            if (j + 1) % 3 == 0:
+                prod = be.fusion_break(prod)
+        return prod
 
     return jax.jit(run)
 
 
-def _pad_to(be: Backend, T, target: int):
-    n = be.length(T)
-    if n == target:
-        return T
-    return _pad_jit(be.spec.name, n, target, be._mod(T) is be.ext)(T)
+def _eq_dyn(be: Backend, point, bufv: int):
+    import jax.numpy as jnp
+
+    spec = be.spec
+    padded = list(point) + [spec.zero] * (bufv - len(point))
+    pts = be.from_ints([spec._c(r) for r in padded], ext=True)
+    return _eq_dyn_jit(spec.name, bufv)(pts, jnp.int32(len(point)))
 
 
 def _gp_expr(m: int) -> SumcheckExpr:
@@ -107,19 +140,17 @@ def prove_grand_product(be: Backend, leaves, transcript):
     assert v >= 1
     assert all(mle.num_vars(be, T) == v for T in leaves)
 
-    levels, roots_dev = _build_layers_jit(
+    layers, w1, roots_dev = _build_layers_jit(
         spec.name, m, v, be._mod(leaves[0]) is be.ext
     )(leaves)
-    # levels[j] has per-memory size 2^(v-1-j); reorder as W_l by l
-    by_l = {v - 1 - j: lvl for j, lvl in enumerate(levels)}
-    by_l[v] = leaves
+    # layers[j] = per-memory (L, R) halves of W_{l+1} for l = v-1-j
+    by_l = {v - 1 - j: lvl for j, lvl in enumerate(layers)}
 
     products = [spec._c(be.to_host_scalar(be.reshape(r, (1,)))) for r in roots_dev]
     transcript.write_felts_ext(products)
     alpha = transcript.squeeze_challenge()
 
-    # layer 0: W_1 values directly (W_1 = by_l[1]; for v == 1, leaves)
-    w1 = by_l[1]
+    # layer 0: W_1 values directly
     lr = []
     for T in w1:
         tv = be.to_host(T)
@@ -134,20 +165,16 @@ def prove_grand_product(be: Backend, leaves, transcript):
     point = [mu]
 
     expr = _gp_expr(m)
-    buf = 1 << max(v - 1, 1)
+    bufv = max(v - 1, 1)
     for l in range(1, v):
         alphas = [spec.epow(alpha, i) for i in range(m)]
         batched = spec.zero
         for i in range(m):
             batched = spec.eadd(batched, spec.emul(alphas[i], claims[i]))
-        eq = _pad_to(be, mle.eq_table(be, point), buf)
-        tables = [eq]
-        for T in by_l[l + 1]:
-            half = 1 << l
-            lo = jax.tree.map(lambda a: a[:half], T)
-            hi = jax.tree.map(lambda a: a[half:], T)
-            tables.append(_pad_to(be, lo, buf))
-            tables.append(_pad_to(be, hi, buf))
+        tables = [_eq_dyn(be, point, bufv)]
+        for lo, hi in by_l[l]:
+            tables.append(lo)
+            tables.append(hi)
         fclaim, s, fevals = prove_sum_check(
             be, expr, alphas, batched, tables, transcript, num_vars=l
         )

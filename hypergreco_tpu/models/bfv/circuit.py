@@ -1,0 +1,369 @@
+"""BFV secret-key encryption correctness circuit (the "Greco" statement).
+
+Proves ct0i = ai*s + e + k1*k0i + r1i*qi + r2i*(X^n+1) (mod p, per CRT
+basis i) with a GKR over: relay/scale layers, an FFT->mul->IFFT chain for
+ai*s, structured wiring for r2i*(X^n+1), one batched Lasso range-check node,
+and a final 5-way sum layer.
+
+Reference parity: BfvEncrypt/BfvEncryptBlock
+(bfv-gkr/src/sk_encryption_circuit.rs:75-523); graph construction mirrors
+`configure` (86-293), input packing mirrors `get_inputs` (365-415), the
+prover/verifier drivers mirror 417-517 (output claims: [LassoNode (empty
+point, 0), sum node (r, ct0is~(r))], with r squeezed before anything else).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List
+
+from ...gkr.circuit import (
+    Circuit,
+    FftNode,
+    InputNode,
+    LassoCircuitNode,
+    VanillaGate,
+    VanillaNode,
+    prove_gkr,
+    relay_add_const,
+    relay_mul_const,
+    verify_gkr,
+)
+from ...lasso.node import LassoNode
+from ...lasso.tables import LassoPreprocessing, RangeLookup
+from ...ops import mle
+from ...ops.fe import Backend, get_backend
+from ...utils.transcript import TranscriptReader, TranscriptWriter
+from . import poly
+from .constants import BfvSkEncryptConstants
+
+LIMB_BITS = 16
+C = 4
+M = 1 << LIMB_BITS
+
+
+class BfvEncrypt:
+    def __init__(
+        self,
+        params: BfvSkEncryptConstants,
+        num_reps: int | None = None,
+        be: Backend | None = None,
+    ):
+        self.params = params
+        self.K = params.K if num_reps is None else num_reps
+        assert self.K & (self.K - 1) == 0, "K must be a power of two"
+        self.be = be or get_backend("goldilocks")
+        # circuits cached per preprocessing object: VanillaNode wiring arrays
+        # and compiled per-node programs live on the node instances, so
+        # rebuilding the circuit per prove would re-trace everything
+        self._circuits = {}
+
+    @property
+    def log2_size(self) -> int:
+        return self.params.N_LOG2 + 1
+
+    @property
+    def poly_log2_size(self) -> int:
+        return self.params.N_LOG2
+
+    def ct0is_log2_size(self) -> int:
+        return self.log2_size + (self.K.bit_length() - 1)
+
+    # ------------------------------------------------------------------
+    # setup
+    # ------------------------------------------------------------------
+
+    def lookup_bounds(self) -> List[int]:
+        p = self.params
+        return (
+            [p.S_BOUND * 2 + 1, p.E_BOUND * 2 + 1, p.K1_BOUND * 2 + 1]
+            + [b * 2 + 1 for b in p.R1_BOUNDS[: self.K]]
+            + [b * 2 + 1 for b in p.R2_BOUNDS[: self.K]]
+        )
+
+    def setup(self):
+        pk = LassoPreprocessing.preprocess(
+            [RangeLookup(b) for b in self.lookup_bounds()], C=C, M=M
+        )
+        vk = pk.to_verifier_preprocessing()
+        return pk, vk
+
+    # ------------------------------------------------------------------
+    # circuit construction (sk_encryption_circuit.rs:86-293)
+    # ------------------------------------------------------------------
+
+    def configure(self, circuit: Circuit, preprocessing: LassoPreprocessing):
+        pr = self.params
+        K = self.K
+        log2_size = self.log2_size
+        poly_log2_size = self.poly_log2_size
+        n_sub = 1 << log2_size
+
+        s = circuit.insert(InputNode(log2_size))
+        e = circuit.insert(InputNode(log2_size))
+        k1 = circuit.insert(InputNode(log2_size))
+
+        es = circuit.insert(
+            VanillaNode(
+                1,
+                log2_size,
+                [
+                    VanillaGate.relay((0, j))
+                    for _ in range(K)
+                    for j in range(n_sub)
+                ],
+            )
+        )
+        k1kis = circuit.insert(
+            VanillaNode(
+                1,
+                log2_size,
+                [
+                    relay_mul_const((0, j), pr.K0IS[i])
+                    for i in range(K)
+                    for j in range(n_sub)
+                ],
+            )
+        )
+        circuit.connect(e, es)
+        circuit.connect(k1, k1kis)
+
+        ais = [circuit.insert(InputNode(log2_size)) for _ in range(K)]
+        r1is = [circuit.insert(InputNode(log2_size)) for _ in range(K)]
+
+        r1iqis = circuit.insert(
+            VanillaNode(
+                K,
+                log2_size,
+                [
+                    relay_mul_const((i, j), pr.QIS[i])
+                    for i in range(K)
+                    for j in range(n_sub)
+                ],
+            )
+        )
+        for r1i in r1is:
+            circuit.connect(r1i, r1iqis)
+
+        r2is = circuit.insert(InputNode(poly_log2_size, K))
+
+        r2is_log2_size = poly_log2_size + (K.bit_length() - 1)
+        r2is_chunks = []
+        total = 1 << r2is_log2_size
+        for lo in range(0, total, n_sub):
+            chunk = range(lo, min(lo + n_sub, total))
+            gates = [VanillaGate.relay((0, j)) for j in chunk]
+            gates.extend(
+                [VanillaGate.constant(0)] * (n_sub - len(gates))
+            )
+            node = circuit.insert(VanillaNode(1, r2is_log2_size, gates))
+            circuit.connect(r2is, node)
+            r2is_chunks.append(node)
+
+        lasso_inputs_batched = circuit.insert(
+            VanillaNode(
+                len(r2is_chunks) + K + 3,
+                log2_size,
+                [
+                    relay_add_const((i, j), bound)
+                    for i, bound in enumerate(
+                        list(pr.R1_BOUNDS[:K])
+                        + [pr.R2_BOUNDS[0]] * len(r2is_chunks)
+                        + [pr.S_BOUND, pr.E_BOUND, pr.K1_BOUND]
+                    )
+                    for j in range(n_sub)
+                ],
+            )
+        )
+        r2i_sub_log2 = log2_size if K == 1 else poly_log2_size
+        lookups = []
+        for b in pr.R1_BOUNDS[:K]:
+            lookups += [RangeLookup.id_for(b * 2 + 1)] * n_sub
+        for b in pr.R2_BOUNDS[:K]:
+            lookups += [RangeLookup.id_for(b * 2 + 1)] * (1 << r2i_sub_log2)
+        lookups += [RangeLookup.id_for(pr.S_BOUND * 2 + 1)] * n_sub
+        lookups += [RangeLookup.id_for(pr.E_BOUND * 2 + 1)] * n_sub
+        lookups += [RangeLookup.id_for(pr.K1_BOUND * 2 + 1)] * n_sub
+        lasso_num_vars = (len(lookups) - 1).bit_length()
+        lasso_ranges = circuit.insert(
+            LassoCircuitNode(
+                LassoNode(self.be, preprocessing, lasso_num_vars, lookups)
+            )
+        )
+        for r1i in r1is:
+            circuit.connect(r1i, lasso_inputs_batched)
+        for ch in r2is_chunks:
+            circuit.connect(ch, lasso_inputs_batched)
+        circuit.connect(s, lasso_inputs_batched)
+        circuit.connect(e, lasso_inputs_batched)
+        circuit.connect(k1, lasso_inputs_batched)
+        circuit.connect(lasso_inputs_batched, lasso_ranges)
+
+        s_eval = circuit.insert(FftNode.forward(log2_size))
+        circuit.connect(s, s_eval)
+        s_eval_copy = circuit.insert(
+            VanillaNode(
+                1,
+                log2_size,
+                [VanillaGate.relay((0, j)) for j in range(n_sub)],
+            )
+        )
+        circuit.connect(s_eval, s_eval_copy)
+
+        sai_par = circuit.insert(
+            VanillaNode(
+                K,
+                log2_size,
+                [
+                    VanillaGate.relay((i, j))
+                    for i in range(K)
+                    for j in range(n_sub)
+                ],
+            )
+        )
+        for ai in ais:
+            ai_eval = circuit.insert(FftNode.forward(log2_size))
+            sai_eval = circuit.insert(
+                VanillaNode(
+                    2,
+                    log2_size,
+                    [VanillaGate.mul((0, j), (1, j)) for j in range(n_sub)],
+                )
+            )
+            sai = circuit.insert(FftNode.inverse_node(log2_size))
+            circuit.connect(ai, ai_eval)
+            circuit.connect(s_eval_copy, sai_eval)
+            circuit.connect(ai_eval, sai_eval)
+            circuit.connect(sai_eval, sai)
+            circuit.connect(sai, sai_par)
+
+        r2i_size = (1 << poly_log2_size) - 1
+        r2i_cyclo = circuit.insert(
+            VanillaNode(
+                1,
+                poly_log2_size,
+                [VanillaGate.relay((0, i)) for i in range(r2i_size)]
+                + [VanillaGate.constant(0)]
+                + [VanillaGate.relay((0, i)) for i in range(r2i_size)]
+                + [VanillaGate.constant(0)],
+                K,
+            )
+        )
+        circuit.connect(r2is, r2i_cyclo)
+
+        sum_node = circuit.insert(
+            VanillaNode(
+                5,
+                log2_size,
+                [
+                    VanillaGate.sum_gate(
+                        [(0, j), (1, j), (2, j), (3, j), (4, j)]
+                    )
+                    for j in range(n_sub)
+                ],
+                K,
+            )
+        )
+        circuit.connect(sai_par, sum_node)
+        circuit.connect(es, sum_node)
+        circuit.connect(k1kis, sum_node)
+        circuit.connect(r1iqis, sum_node)
+        circuit.connect(r2i_cyclo, sum_node)
+        return sum_node
+
+    def _circuit(self, preprocessing) -> Circuit:
+        key = id(preprocessing)
+        if key not in self._circuits:
+            c = Circuit(self.be)
+            self.configure(c, preprocessing)
+            self._circuits[key] = c
+        return self._circuits[key]
+
+    # ------------------------------------------------------------------
+    # inputs (sk_encryption_circuit.rs:365-415)
+    # ------------------------------------------------------------------
+
+    def get_inputs(self, args: dict):
+        p = self.be.spec.p
+        log2_size = self.log2_size
+        K = self.K
+
+        s = poly.new_padded(args["s"], log2_size, p)
+        e = poly.new_shifted(args["e"], (1 << log2_size) - 1, p)
+        k1 = poly.new_shifted(args["k1"], (1 << log2_size) - 1, p)
+
+        r2is, r1is, ais, ct0is = [], [], [], []
+        for z in range(min(len(args["ct0is"]), K)):
+            r2is.append(poly.new(args["r2is"][z], p))
+            r1is.append(poly.new_padded(args["r1is"][z], log2_size, p))
+            ais.append(poly.new_padded(args["ais"][z], log2_size, p))
+            ct0i = poly.new_shifted(args["ct0is"][z], 1 << log2_size, p)
+            ct0is.extend(ct0i[1:] + [0])
+
+        r2is_flat = []
+        for r2i in r2is[:K]:
+            r2is_flat.extend(r2i + [0])
+
+        inputs = [s, e, k1] + ais + r1is + [r2is_flat]
+        return inputs, ct0is
+
+    # ------------------------------------------------------------------
+    # prove / verify (sk_encryption_circuit.rs:417-517)
+    # ------------------------------------------------------------------
+
+    def prove(self, args: dict, pk: LassoPreprocessing) -> bytes:
+        be = self.be
+        spec = be.spec
+        transcript = TranscriptWriter(spec)
+
+        circuit = self._circuit(pk)
+
+        inputs_dense, ct0is_dense = self.get_inputs(args)
+        inputs = [be.from_ints(x) for x in inputs_dense]
+        values = circuit.evaluate(inputs)
+
+        point = transcript.squeeze_challenges(self.ct0is_log2_size())
+        ct0is_value = mle.eval_host(spec, ct0is_dense, point)
+        output_claims = [([], spec.zero), (point, ct0is_value)]
+
+        prove_gkr(circuit, values, output_claims, transcript)
+        return transcript.into_proof()
+
+    def verify(
+        self,
+        vk: LassoPreprocessing,
+        inputs_dense: list,
+        ct0is: list,
+        proof: bytes,
+    ):
+        """inputs_dense: the prover's input vectors (no PCS — the reference
+        verifier consumes raw inputs, sk_encryption_circuit.rs:473, 512-516);
+        ct0is: public ciphertext coefficient-string lists."""
+        be = self.be
+        spec = be.spec
+        p = spec.p
+        transcript = TranscriptReader(spec, proof)
+
+        point = transcript.squeeze_challenges(self.ct0is_log2_size())
+        ct0is_dense = []
+        for z in range(min(len(ct0is), self.K)):
+            ct0i = poly.new_shifted(ct0is[z], 1 << self.log2_size, p)
+            ct0is_dense.extend(ct0i[1:] + [0])
+        ct0is_value = mle.eval_host(spec, ct0is_dense, point)
+        output_claims = [([], spec.zero), (point, ct0is_value)]
+
+        circuit = self._circuit(vk)
+
+        input_claims = verify_gkr(circuit, output_claims, transcript)
+        transcript.assert_consumed()
+
+        for dense, claims in zip(inputs_dense, input_claims):
+            for pt, val in claims:
+                if mle.eval_host(spec, dense, pt) != spec._c(val):
+                    raise ValueError("bfv: input claim mismatch")
+        return True
+
+
+def load_witness_json(path: str) -> dict:
+    with open(path) as f:
+        return json.load(f)

@@ -144,6 +144,21 @@ class Backend:
     def reshape(x, shape):
         return jax.tree.map(lambda a: a.reshape(shape), x)
 
+    @staticmethod
+    def fusion_break(x):
+        """Identity gather on every limb leaf — a fusion boundary for
+        XLA:CPU's emitter, whose recursive producer inlining makes compile
+        time EXPONENTIAL in the depth of unbroken elementwise chains
+        (measured: an 11-deep ext-mul chain compiles in minutes; with a
+        gather every ~3 muls, in seconds). Use between long mul/add chains."""
+        import jax.numpy as jnp
+
+        def leaf(a):
+            idx = jnp.arange(a.shape[-1], dtype=jnp.int32)
+            return a[..., idx]
+
+        return jax.tree.map(leaf, x)
+
     def sum(self, x):
         """Field-sum of a [n]-vector -> 0-d element (log-depth halving tree).
 

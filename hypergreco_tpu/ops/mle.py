@@ -38,10 +38,12 @@ def _evaluate_jit(be_name: str, v: int, ext: bool):
     be = get_backend(be_name)
 
     def run(table, point):
-        for j in reversed(range(v)):
+        for i, j in enumerate(reversed(range(v))):
             r = be.index(point, j)
             lo, hi = be.halves(table)
             table = be.add(lo, be.mul(r, be.sub(hi, lo)))
+            if (i + 1) % 3 == 0:
+                table = be.fusion_break(table)
         return table
 
     return jax.jit(run)
@@ -63,16 +65,23 @@ def evaluate(be: Backend, table, point) -> tuple:
 @lru_cache(maxsize=None)
 def _eq_table_jit(be_name: str, v: int):
     be = get_backend(be_name)
+    N = 1 << v
 
     def run(point):
-        table = be.from_ints([be.spec.one], ext=True)
-        # variable j joins at the top bit of the doubled table, so processing
-        # j = 0 first leaves variable j at index bit j — the LSB-first layout.
+        import jax.numpy as jnp
+
+        x = jnp.arange(N, dtype=jnp.uint32)
+        prod = None
+        # bit-product form: eq[x] = prod_j (x_j ? r_j : 1-r_j); fusion breaks
+        # keep XLA:CPU compile time linear (see Backend.fusion_break)
         for j in range(v):
             r = be.index(point, j)
-            hi = be.mul(r, table)
-            table = be.concat([be.sub(table, hi), hi])
-        return table
+            one_minus = be.sub(be.ext.ones(()), r)
+            f = be.select(((x >> j) & 1) == 1, r, one_minus)
+            prod = f if prod is None else be.mul(prod, f)
+            if (j + 1) % 3 == 0:
+                prod = be.fusion_break(prod)
+        return prod
 
     return jax.jit(run)
 
@@ -80,6 +89,8 @@ def _eq_table_jit(be_name: str, v: int):
 def eq_table(be: Backend, point):
     """eq(point, x) as a dense 2^v ext table (x in LSB-first index order)."""
     v = len(point)
+    if v == 0:
+        return be.from_ints([be.spec.one], ext=True)
     return _eq_table_jit(be.spec.name, v)(_point_to_device(be, point))
 
 

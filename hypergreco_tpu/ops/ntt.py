@@ -145,8 +145,12 @@ def _dr_jit(be_name: str, logl: int, inverse: bool, npoints: int):
                     be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb)
                 )
                 prod = factor if prod is None else be.mul(prod, factor)
+                if (b + 1) % 3 == 0:
+                    prod = be.fusion_break(prod)
             term = be.mul(be.index(alphas, i), prod)
-            acc = term if acc is None else be.add(acc, term)
+            acc = be.fusion_break(
+                term if acc is None else be.add(acc, term)
+            )
         if inverse:
             acc = be.scale(acc, linv)
         return acc
