@@ -53,3 +53,17 @@ def test_sk_enc_corrupted_proof_rejected(setup_1024):
     inputs_dense, _ = bfv.get_inputs(args)
     with pytest.raises(ValueError):
         bfv.verify(vk, inputs_dense, args["ct0is"], bytes(proof))
+
+
+def test_sk_enc_self_generated_witness(setup_1024):
+    """Native witness generator (no bfv-py): fresh encryption proves under
+    the same parameter set (generator reproduces the reference constants
+    exactly for these qis — see test_witness_gen)."""
+    from hypergreco_tpu.models.bfv.witness_gen import generate_witness
+
+    bfv, _, pk, vk = setup_1024
+    args2, consts = generate_witness(1024, [82638181], seed=11)
+    assert consts.R1_BOUNDS == SK_ENC_1024_1x27.R1_BOUNDS
+    proof = bfv.prove(args2, pk)
+    inputs_dense, _ = bfv.get_inputs(args2)
+    assert bfv.verify(vk, inputs_dense, args2["ct0is"], proof)
