@@ -42,6 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import mle, ntt
+from ..utils.tracing import span
 from ..ops.fe import Backend, get_backend
 from ..ops.gl import GL
 from .sumcheck import SumcheckExpr, Term, prove_sum_check, verify_sum_check
@@ -673,9 +674,10 @@ def prove_gkr(circuit: Circuit, values: list, output_claims: list, transcript):
         if node.is_input() or not claims[nid]:
             continue
         ins = circuit.node_inputs[nid]
-        child = node.prove_claim_reduction(
-            be, claims[nid], [values[j] for j in ins], transcript
-        )
+        with span(f"{type(node).__name__}[{nid}]::prove_claim_reduction"):
+            child = node.prove_claim_reduction(
+                be, claims[nid], [values[j] for j in ins], transcript
+            )
         assert len(child) == len(ins)
         for cid, cls_ in zip(ins, child):
             claims[cid].extend(cls_)
@@ -694,7 +696,8 @@ def verify_gkr(circuit: Circuit, output_claims: list, transcript):
         if node.is_input() or not claims[nid]:
             continue
         ins = circuit.node_inputs[nid]
-        child = node.verify_claim_reduction(be, claims[nid], transcript)
+        with span(f"{type(node).__name__}[{nid}]::verify_claim_reduction"):
+            child = node.verify_claim_reduction(be, claims[nid], transcript)
         assert len(child) == len(ins)
         for cid, cls_ in zip(ins, child):
             claims[cid].extend(cls_)

@@ -38,6 +38,7 @@ from ..ops import mle
 from ..ops.fe import Backend, get_backend
 from ..ops.gl import GL
 from . import memory_checking as mc
+from ..utils.tracing import span
 from .selectors import RowSelector
 from .tables import LassoPreprocessing
 
@@ -219,26 +220,32 @@ class LassoNode:
         Returns [(point, claim)] for the input node."""
         be = self.be
         spec = be.spec
-        witnesses, dims_gl = self.polynomialize(inputs)
+        with span("LassoNode::polynomialize"):
+            witnesses, dims_gl = self.polynomialize(inputs)
 
         r = transcript.squeeze_challenges(self.num_vars)
         claimed_sum = mle.evaluate(be, inputs, r)
         transcript.write_felt_ext(claimed_sum)
 
         expr = self._collation_expr()
-        tables = [mle.eq_table(be, r)]
-        for m, w in enumerate(witnesses):
-            tables.extend([w.sel_dense, w.e])
-        fclaim, x, fevals = prove_sum_check(
-            be, expr, self.weights, claimed_sum, tables, transcript
-        )
+        with span("LassoNode::collation_sum_check"):
+            tables = [mle.eq_table(be, r)]
+            for m, w in enumerate(witnesses):
+                tables.extend([w.sel_dense, w.e])
+            fclaim, x, fevals = prove_sum_check(
+                be, expr, self.weights, claimed_sum, tables, transcript
+            )
         e_openings = [fevals[2 + 2 * m] for m in range(self.pp.num_memories)]
         transcript.write_felts_ext(e_openings)
 
         gamma = transcript.squeeze_challenge()
         tau = transcript.squeeze_challenge()
+        with span("LassoNode::memory_checking"):
+            return self._prove_mc(witnesses, dims_gl, gamma, tau, transcript, r, claimed_sum)
+
+    def _prove_mc(self, witnesses, dims_gl, gamma, tau, transcript, r, claimed_sum):
         mc.prove_memory_checking(
-            be,
+            self.be,
             witnesses,
             self.pp.memory_to_dimension_index,
             dims_gl,

@@ -33,6 +33,7 @@ from ...lasso.node import LassoNode
 from ...lasso.tables import LassoPreprocessing, RangeLookup
 from ...ops import mle
 from ...ops.fe import Backend, get_backend
+from ...utils.tracing import span, sync
 from ...utils.transcript import TranscriptReader, TranscriptWriter
 from . import poly
 from .constants import BfvSkEncryptConstants
@@ -316,17 +317,22 @@ class BfvEncrypt:
         spec = be.spec
         transcript = TranscriptWriter(spec)
 
-        circuit = self._circuit(pk)
+        with span("init circuit"):
+            circuit = self._circuit(pk)
 
-        inputs_dense, ct0is_dense = self.get_inputs(args)
-        inputs = [be.from_ints(x) for x in inputs_dense]
-        values = circuit.evaluate(inputs)
+        with span("witness gen"):
+            with span("parse inputs"):
+                inputs_dense, ct0is_dense = self.get_inputs(args)
+                inputs = [be.from_ints(x) for x in inputs_dense]
+            with span("eval circuit"):
+                values = sync(circuit.evaluate(inputs))
+            with span("eval output"):
+                point = transcript.squeeze_challenges(self.ct0is_log2_size())
+                ct0is_value = mle.eval_host(spec, ct0is_dense, point)
+                output_claims = [([], spec.zero), (point, ct0is_value)]
 
-        point = transcript.squeeze_challenges(self.ct0is_log2_size())
-        ct0is_value = mle.eval_host(spec, ct0is_dense, point)
-        output_claims = [([], spec.zero), (point, ct0is_value)]
-
-        prove_gkr(circuit, values, output_claims, transcript)
+        with span("GKR prove"):
+            prove_gkr(circuit, values, output_claims, transcript)
         return transcript.into_proof()
 
     def verify(
