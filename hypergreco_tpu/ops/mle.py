@@ -34,32 +34,30 @@ def _point_to_device(be: Backend, point):
 
 
 @lru_cache(maxsize=None)
-def _evaluate_jit(be_name: str, v: int, ext: bool):
+def _dot_digest_jit(be_name: str, v: int, ext: bool):
     be = get_backend(be_name)
 
-    def run(table, point):
-        for i, j in enumerate(reversed(range(v))):
-            r = be.index(point, j)
-            lo, hi = be.halves(table)
-            table = be.add(lo, be.mul(r, be.sub(hi, lo)))
-            if (i + 1) % 3 == 0:
-                table = be.fusion_break(table)
-        return table
+    def run(eq, table):
+        return be.sum_digest(be.mul(eq, table))
 
     return jax.jit(run)
 
 
 def evaluate(be: Backend, table, point) -> tuple:
-    """Evaluate an MLE at an ext point; returns a host ext tuple."""
+    """Evaluate an MLE at an ext point; returns a host ext tuple.
+
+    Computed as <eq(point, .), T> with a digest reduction: the naive
+    fold-halving chain compiles pathologically on both XLA:CPU and the TPU
+    backend (deep fused mul chains — see Backend.fusion_break), while the
+    eq table and dot programs are shared and compile-bounded."""
     v = num_vars(be, table)
     assert len(point) == v, (len(point), v)
     if v == 0:
         val = be.to_host_scalar(table)
         return be.spec._c(val)
-    out = _evaluate_jit(be.spec.name, v, be._mod(table) is be.ext)(
-        table, _point_to_device(be, point)
-    )
-    return be.spec._c(be.to_host_scalar(out))
+    eq = eq_table(be, point)
+    dg = _dot_digest_jit(be.spec.name, v, be._mod(table) is be.ext)(eq, table)
+    return be.spec._c(be.digest_value(dg))
 
 
 @lru_cache(maxsize=None)
