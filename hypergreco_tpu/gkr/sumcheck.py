@@ -217,6 +217,81 @@ def _round_jit(be_name: str, expr_key: tuple, num_coeffs: int, logn: int, fold: 
     return jax.jit(run)
 
 
+_MESH_REG = {}
+
+
+def _mesh_key(mesh):
+    key = (tuple(mesh.axis_names), mesh.devices.shape, id(mesh))
+    _MESH_REG[key] = mesh
+    return key
+
+
+@lru_cache(maxsize=None)
+def _round_sharded_jit(
+    be_name: str, expr_key: tuple, num_coeffs: int, logn: int, fold: bool, mkey
+):
+    """The round program under shard_map: columns sharded over mesh axis
+    "hc". Valid while 2*sc <= the per-shard column count (folds/evals are
+    then shard-local: active pairs sit inside 2sc-aligned blocks). Digests
+    come back per-shard (leading axis) and the host finish sums them, so the
+    transcript is bit-identical to the unsharded engine."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    be = get_backend(be_name)
+    mesh = _MESH_REG[mkey]
+    ndev = mesh.shape["hc"]
+    num_tables, terms = expr_key
+    degree = max(len(f) for _, f in terms)
+    ts = _eval_points(degree)
+    N = 1 << logn
+    NL = N // ndev
+    fidx, cidx = _expr_layout(expr_key, num_coeffs, degree)
+    nterms = len(terms)
+
+    def local(stk, coeffs1, r, sc, l_act):
+        col0 = jax.lax.axis_index("hc") * NL
+        if fold:
+            hi = _shift_cols(stk, sc // 2, NL)
+            stk = be.add(stk, be.mul(r, be.sub(hi, stk)))
+        his = _shift_cols(stk, sc, NL)
+        diffs = be.sub(his, stk)
+        x = col0 + jnp.arange(NL, dtype=jnp.int32)
+        mask = (((x & (2 * sc - 1)) == 0) & (x < l_act))[None, :]
+        digests = []
+        cur = his
+        for t in ts:
+            if t == 0:
+                tabs = stk
+            else:
+                cur = be.add(cur, diffs)
+                tabs = cur
+            blk_digests = []
+            for lo in range(0, nterms, _TERM_BLOCK):
+                sl = slice(lo, min(lo + _TERM_BLOCK, nterms))
+                prod = _rows(tabs, fidx[0][sl])
+                for k in range(1, degree):
+                    prod = be.mul(prod, _rows(tabs, fidx[k][sl]))
+                ci_blk = cidx[sl]
+                cs = jax.tree.map(lambda a: a[ci_blk, None], coeffs1)
+                prod = be.mul(prod, cs)
+                b = sl.stop - sl.start
+                prod = be.select(mask, prod, be.ext.zeros((b, NL)))
+                blk_digests.append(
+                    jax.tree.map(lambda a: a[None], be.sum_digest(prod))
+                )
+            digests.append(blk_digests)
+        return stk, digests
+
+    fn = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, "hc"), P(), P(), P(), P()),
+        out_specs=(P(None, "hc"), P("hc")),
+    )
+    return jax.jit(fn)
+
+
 @lru_cache(maxsize=None)
 def _final_fold_jit(be_name: str, n_tables: int, logn: int):
     """Bind the last challenge (active pair at 0 and s); emit final evals."""
@@ -234,7 +309,9 @@ def _kinds(be: Backend, tables) -> tuple:
     return tuple(be._mod(T) is be.ext for T in tables)
 
 
-def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
+def prove_sum_check(
+    be, expr, coeffs, claim, tables, transcript, num_vars=None, mesh=None
+):
     """Returns (final_claim, point_lsb_first, final_table_evals).
 
     `tables` may be base- or ext-field device vectors of equal power-of-two
@@ -246,6 +323,11 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
     sized instances (e.g. grand-product tree layers) share ONE compiled
     program per expression. Padding values beyond the first 2^v entries are
     arbitrary: sums are masked and active lanes never read them.
+
+    `mesh` (optional jax Mesh with an "hc" axis): shards the buffer columns
+    across devices; rounds run shard-local while the stride fits the shard
+    width, then the table is gathered and the tail runs replicated. The
+    transcript is identical to the unsharded prover (digests are exact).
     """
     spec = be.spec
     bv = mle.num_vars(be, tables[0])
@@ -258,13 +340,36 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
     degree = expr.degree
 
     stk = _stack_jit(spec.name, len(tables), bv, _kinds(be, tables))(tables)
+
+    ndev = mesh.shape["hc"] if mesh is not None else 1
+    n_local = (1 << bv) // ndev if mesh is not None else 0
+    sharded = mesh is not None and ndev > 1 and n_local >= 4
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mkey = _mesh_key(mesh)
+        sh = NamedSharding(mesh, P(None, "hc"))
+        stk = jax.tree.map(lambda a: jax.device_put(a, sh), stk)
+
     r = be.scalar(spec.zero, ext=True)  # unused in round 0
     claim = spec._c(claim)
     l_act = jnp.int32(1 << v)
     challenges = []
     for rnd in range(v):
         sc = jnp.int32(1 << rnd)  # active stride for this round's evals
-        fn = _round_jit(spec.name, ekey, len(coeffs), bv, fold=rnd > 0)
+        if sharded and 2 * (1 << rnd) > n_local:
+            # stride reached the shard width: gather, continue replicated
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P(None, None))
+            stk = jax.tree.map(lambda a: jax.device_put(a, rep), stk)
+            sharded = False
+        if sharded:
+            fn = _round_sharded_jit(
+                spec.name, ekey, len(coeffs), bv, rnd > 0, mkey
+            )
+        else:
+            fn = _round_jit(spec.name, ekey, len(coeffs), bv, fold=rnd > 0)
         stk, digests = fn(stk, cdev, r, sc, l_act)
         evals = []
         for blk_digests in digests:
@@ -279,6 +384,11 @@ def prove_sum_check(be, expr, coeffs, claim, tables, transcript, num_vars=None):
         claim = lagrange_interp_eval(spec, ys, rj)
         r = be.scalar(rj, ext=True)
 
+    if sharded:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P(None, None))
+        stk = jax.tree.map(lambda a: jax.device_put(a, rep), stk)
     final_dev = _final_fold_jit(spec.name, len(tables), bv)(
         stk, r, jnp.int32(1 << (v - 1))
     )

@@ -243,7 +243,9 @@ class Backend:
         for i in range(0, len(leaves), nl):
             acc = 0
             for j in range(nl):
-                d = np.asarray(leaves[i + j], dtype=np.uint64)
+                # [.., m, 2]; extra leading axes (e.g. per-shard digests
+                # from shard_map) flatten harmlessly — digests are additive
+                d = np.asarray(leaves[i + j], dtype=np.uint64).reshape(-1, 2)
                 limb = int(d[:, 0].sum()) + (int(d[:, 1].sum()) << 16)
                 acc += limb << (32 * j)
             vals.append(acc % self.spec.p)
