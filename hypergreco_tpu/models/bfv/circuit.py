@@ -328,7 +328,7 @@ class BfvEncrypt:
                 values = sync(circuit.evaluate(inputs))
             with span("eval output"):
                 point = transcript.squeeze_challenges(self.ct0is_log2_size())
-                ct0is_value = mle.eval_host(spec, ct0is_dense, point)
+                ct0is_value = mle.evaluate(be, be.from_ints(ct0is_dense), point)
                 output_claims = [([], spec.zero), (point, ct0is_value)]
 
         with span("GKR prove"):
@@ -355,7 +355,7 @@ class BfvEncrypt:
         for z in range(min(len(ct0is), self.K)):
             ct0i = poly.new_shifted(ct0is[z], 1 << self.log2_size, p)
             ct0is_dense.extend(ct0i[1:] + [0])
-        ct0is_value = mle.eval_host(spec, ct0is_dense, point)
+        ct0is_value = mle.evaluate(be, be.from_ints(ct0is_dense), point)
         output_claims = [([], spec.zero), (point, ct0is_value)]
 
         circuit = self._circuit(vk)
@@ -364,8 +364,9 @@ class BfvEncrypt:
         transcript.assert_consumed()
 
         for dense, claims in zip(inputs_dense, input_claims):
+            dev = be.from_ints(dense)
             for pt, val in claims:
-                if mle.eval_host(spec, dense, pt) != spec._c(val):
+                if mle.evaluate(be, dev, pt) != spec._c(val):
                     raise ValueError("bfv: input claim mismatch")
         return True
 

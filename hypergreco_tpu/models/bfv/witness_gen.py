@@ -37,12 +37,33 @@ def _center(x: int, q: int) -> int:
 
 
 def _poly_mul(a: List[int], b: List[int]) -> List[int]:
-    """Integer polynomial product (highest-degree-first)."""
+    """Integer polynomial product (highest-degree-first).
+
+    Fast path when one operand has tiny coefficients (the ternary secret):
+    split the big side into signed 29-bit limbs and use exact int64 numpy
+    convolutions — required for n >= 16384 where the schoolbook Python loop
+    would take minutes."""
+    import numpy as np
+
+    small, big = (a, b) if max(map(abs, a), default=0) <= 4 else (b, a)
+    if (
+        len(small) * len(big) >= 1 << 18
+        and max(map(abs, small), default=0) <= 4
+        and max(map(abs, big), default=0) < 1 << 58
+    ):
+        s = np.asarray(small, dtype=np.int64)
+        lo = np.asarray([x & ((1 << 29) - 1) for x in big], dtype=np.int64)
+        hi = np.asarray([x >> 29 for x in big], dtype=np.int64)
+        c_lo = np.convolve(lo, s)
+        c_hi = np.convolve(hi, s)
+        return [int(x) + (int(y) << 29) for x, y in zip(c_lo, c_hi)]
+
     out = [0] * (len(a) + len(b) - 1)
+    bnz = [(j, bj) for j, bj in enumerate(b) if bj != 0]
     for i, ai in enumerate(a):
         if ai == 0:
             continue
-        for j, bj in enumerate(b):
+        for j, bj in bnz:
             out[i + j] += ai * bj
     return out
 
@@ -59,34 +80,42 @@ def _poly_add(a: List[int], b: List[int]) -> List[int]:
 
 
 def _reduce_cyclo(a: List[int], n: int) -> List[int]:
-    """a mod (X^n + 1), keeping integer coefficients."""
-    out = list(a)
-    # highest-first: index i has degree (len-1-i)
-    while len(out) > n:
-        deg = len(out) - 1
-        lead = out[0]
-        out = out[1:]
-        # X^deg = -X^(deg-n) mod X^n+1
-        pos = len(out) - 1 - (deg - n)
-        out[pos] -= lead
-    return out
+    """a mod (X^n + 1), integer coefficients (highest-first), O(len)."""
+    L = len(a)
+    by_deg = [0] * max(L, n)
+    for i, c in enumerate(a):
+        by_deg[L - 1 - i] += c
+    # X^(d) = -X^(d-n) for d >= n, applied high-to-low (deg < 2n expected,
+    # but cascade correctly for any length)
+    for d in range(len(by_deg) - 1, n - 1, -1):
+        if by_deg[d]:
+            by_deg[d - n] -= by_deg[d]
+            by_deg[d] = 0
+    return [by_deg[n - 1 - i] for i in range(n)]
 
 
 def _divmod_cyclo(num: List[int], n: int):
-    """Exact division of num by X^n + 1 (highest-first), integer coeffs."""
-    num = list(num)
-    q = []
-    while len(num) > n:
-        lead = num[0]
-        q.append(lead)
-        deg = len(num) - 1
-        num = num[1:]
-        pos = len(num) - 1 - (deg - n)
-        num[pos] -= lead
-    # strip leading zeros of remainder
-    while num and num[0] == 0:
-        num = num[1:]
-    return q, num
+    """Exact division of num by X^n + 1 (highest-first), O(len)."""
+    L = len(num)
+    dmax = L - 1
+    nq = [0] * (dmax + 1)
+    for i, c in enumerate(num):
+        nq[dmax - i] += c
+    if dmax < n:
+        rem = [c for c in num]
+        while rem and rem[0] == 0:
+            rem = rem[1:]
+        return [], rem
+    dq = dmax - n
+    q = [0] * (dq + 1)
+    for d in range(dmax, n - 1, -1):
+        q[d - n] = nq[d] - (q[d] if d <= dq else 0)
+    rem_by_deg = [nq[d] - (q[d] if d <= dq else 0) for d in range(n)]
+    q_hf = [q[dq - i] for i in range(dq + 1)]
+    rem = [rem_by_deg[n - 1 - i] for i in range(n)]
+    while rem and rem[0] == 0:
+        rem = rem[1:]
+    return q_hf, rem
 
 
 def _sample_gaussian(rng: random.Random) -> int:
