@@ -212,7 +212,7 @@ def _round_jit(be_name: str, expr_key: tuple, num_coeffs: int, logn: int, fold: 
                 prod = be.select(mask, prod, be.ext.zeros((b, N)))
                 blk_digests.append(be.sum_digest(prod))
             digests.append(blk_digests)
-        return stk, digests
+        return stk, be.pack_digests(digests)
 
     return jax.jit(run)
 
@@ -277,11 +277,9 @@ def _round_sharded_jit(
                 prod = be.mul(prod, cs)
                 b = sl.stop - sl.start
                 prod = be.select(mask, prod, be.ext.zeros((b, NL)))
-                blk_digests.append(
-                    jax.tree.map(lambda a: a[None], be.sum_digest(prod))
-                )
+                blk_digests.append(be.sum_digest(prod))
             digests.append(blk_digests)
-        return stk, digests
+        return stk, be.pack_digests(digests)[None]
 
     fn = jax.shard_map(
         local,
@@ -370,13 +368,8 @@ def prove_sum_check(
             )
         else:
             fn = _round_jit(spec.name, ekey, len(coeffs), bv, fold=rnd > 0)
-        stk, digests = fn(stk, cdev, r, sc, l_act)
-        evals = []
-        for blk_digests in digests:
-            acc = spec.zero
-            for dg in blk_digests:
-                acc = spec.eadd(acc, spec._c(be.digest_value(dg)))
-            evals.append(acc)
+        stk, packed = fn(stk, cdev, r, sc, l_act)
+        evals = [spec._c(v) for v in be.packed_digest_values(packed)]
         transcript.write_felts_ext(evals)
         rj = transcript.squeeze_challenge()
         challenges.append(rj)

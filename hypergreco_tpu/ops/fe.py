@@ -33,6 +33,8 @@ class Backend:
     ext: Any  # module with ext ops (== base when ext_degree == 1)
     base_cls: type
     ext_cls: type
+    limbs_per_base: int = 2  # uint32 limb leaves per base coefficient
+    from_u32: Any = None  # uint32 plane -> base element (value < 2^32)
 
     # ----- classification / promotion -----
 
@@ -206,11 +208,15 @@ class Backend:
         import jax.numpy as jnp
 
         leaves = jax.tree.leaves(values)
-        assert len(leaves) % 2 == 0
+        nl = self.limbs_per_base
+        assert len(leaves) % nl == 0
+        mk = self.from_u32 or (
+            lambda col: self.base_cls(col, jnp.zeros_like(col))
+        )
         out_base = []
-        for i in range(0, len(leaves), 2):
+        for i in range(0, len(leaves), nl):
             acc = None
-            for j in range(2):
+            for j in range(nl):
                 limb = leaves[i + j]
                 for s in range(4):
                     c = (limb >> (8 * s)) & 0xFF
@@ -220,14 +226,54 @@ class Backend:
                         .add(c, mode="drop")[:size]
                     )
                     v = self.base.scale(
-                        self.base_cls(col, jnp.zeros_like(col)),
-                        (1 << (8 * s + 32 * j)) % self.spec.p,
+                        mk(col), (1 << (8 * s + 32 * j)) % self.spec.p
                     )
                     acc = v if acc is None else self.base.add(acc, v)
             out_base.append(acc)
         if len(out_base) == 1:
             return out_base[0]
         return self.ext_cls(*out_base)
+
+    def pack_digests(self, dgs):
+        """[[pytree digest per block] per eval point] -> ONE uint32 array
+        [npts, nblk, nleaves, m, 2] so a round costs a single device->host
+        transfer (each tiny transfer over the TPU tunnel has ~10-100ms
+        latency; unpacked rounds made ~24 of them)."""
+        import jax.numpy as jnp
+
+        rows = [
+            jnp.stack([jnp.stack(jax.tree.leaves(dg)) for dg in blks])
+            for blks in dgs
+        ]
+        return jnp.stack(rows)
+
+    def packed_digest_values(self, arr):
+        """Host finish of pack_digests output (np array or device array with
+        optional extra leading shard axes folded into the block axis).
+        Returns one host scalar per eval point."""
+        import numpy as np
+
+        arr = np.asarray(arr, dtype=np.uint64)
+        if arr.ndim > 5:  # leading shard axes -> extra blocks
+            arr = np.moveaxis(
+                arr.reshape((-1,) + arr.shape[-5:]), 0, 1
+            )  # [npts, shards, nblk, L, m, 2]
+            arr = arr.reshape(arr.shape[0], -1, *arr.shape[-3:])
+        nl = self.limbs_per_base
+        out = []
+        for t in range(arr.shape[0]):
+            a = arr[t]  # [nblk, nleaves, m, 2]
+            coeffs = []
+            for c in range(a.shape[1] // nl):
+                acc = 0
+                for j in range(nl):
+                    d = a[:, c * nl + j].reshape(-1, 2)
+                    acc += (
+                        int(d[:, 0].sum()) + (int(d[:, 1].sum()) << 16)
+                    ) << (32 * j)
+                coeffs.append(acc % self.spec.p)
+            out.append(tuple(coeffs) if len(coeffs) > 1 else coeffs[0])
+        return out
 
     def digest_value(self, dg):
         """Host-side finish of sum_digest: -> int (base) or ext tuple.
@@ -238,7 +284,7 @@ class Backend:
         import numpy as np
 
         leaves = jax.tree.leaves(dg)
-        nl = 2  # uint32 limbs per base coefficient
+        nl = self.limbs_per_base
         vals = []
         for i in range(0, len(leaves), nl):
             acc = 0
@@ -261,7 +307,29 @@ GL_BACKEND = Backend(
 _BACKENDS = {"goldilocks": GL_BACKEND}
 
 
+def _make_bn254_backend():
+    from ..fields import BN254_FR
+    from . import bn254 as _bn
+    import jax.numpy as jnp
+
+    def from_u32(col):
+        z = jnp.zeros_like(col)
+        return _bn.FR(col, z, z, z, z, z, z, z)
+
+    return Backend(
+        spec=BN254_FR,
+        base=_bn,
+        ext=_bn,
+        base_cls=_bn.FR,
+        ext_cls=_bn.FR,
+        limbs_per_base=8,
+        from_u32=from_u32,
+    )
+
+
 def get_backend(name: str) -> Backend:
+    if name == "bn254" and name not in _BACKENDS:
+        _BACKENDS[name] = _make_bn254_backend()
     return _BACKENDS[name]
 
 
