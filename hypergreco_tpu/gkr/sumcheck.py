@@ -212,9 +212,15 @@ def _round_jit(be_name: str, expr_key: tuple, num_coeffs: int, logn: int, fold: 
                 prod = be.select(mask, prod, be.ext.zeros((b, N)))
                 blk_digests.append(be.sum_digest(prod))
             digests.append(blk_digests)
-        return stk, be.pack_digests(digests)
+        return stk, digests
 
     return jax.jit(run)
+
+
+@lru_cache(maxsize=None)
+def _pack_jit(be_name: str):
+    be = get_backend(be_name)
+    return jax.jit(be.pack_digests)
 
 
 _MESH_REG = {}
@@ -277,17 +283,22 @@ def _round_sharded_jit(
                 prod = be.mul(prod, cs)
                 b = sl.stop - sl.start
                 prod = be.select(mask, prod, be.ext.zeros((b, NL)))
-                blk_digests.append(be.sum_digest(prod))
+                blk_digests.append(
+                    jax.tree.map(lambda a: a[None], be.sum_digest(prod))
+                )
             digests.append(blk_digests)
-        return stk, be.pack_digests(digests)[None]
+        return stk, digests
 
-    fn = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(None, "hc"), P(), P(), P(), P()),
-        out_specs=(P(None, "hc"), P("hc")),
-    )
-    return jax.jit(fn)
+    def wrapped(stk, coeffs1, r, sc, l_act):
+        stk2, digests = jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, "hc"), P(), P(), P(), P()),
+            out_specs=(P(None, "hc"), P("hc")),
+        )(stk, coeffs1, r, sc, l_act)
+        return stk2, digests
+
+    return jax.jit(wrapped)
 
 
 @lru_cache(maxsize=None)
@@ -368,7 +379,8 @@ def prove_sum_check(
             )
         else:
             fn = _round_jit(spec.name, ekey, len(coeffs), bv, fold=rnd > 0)
-        stk, packed = fn(stk, cdev, r, sc, l_act)
+        stk, digests = fn(stk, cdev, r, sc, l_act)
+        packed = _pack_jit(spec.name)(digests)
         evals = [spec._c(v) for v in be.packed_digest_values(packed)]
         transcript.write_felts_ext(evals)
         rj = transcript.squeeze_challenge()

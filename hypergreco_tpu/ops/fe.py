@@ -241,6 +241,9 @@ class Backend:
         latency; unpacked rounds made ~24 of them)."""
         import jax.numpy as jnp
 
+        # NB: call this on MATERIALIZED digests (its own jit), never inside
+        # the producing program — stacking many fused reduce-producer chains
+        # re-triggers XLA:CPU's multi-MB concatenate-fusion kernels
         rows = [
             jnp.stack([jnp.stack(jax.tree.leaves(dg)) for dg in blks])
             for blks in dgs
@@ -254,11 +257,8 @@ class Backend:
         import numpy as np
 
         arr = np.asarray(arr, dtype=np.uint64)
-        if arr.ndim > 5:  # leading shard axes -> extra blocks
-            arr = np.moveaxis(
-                arr.reshape((-1,) + arr.shape[-5:]), 0, 1
-            )  # [npts, shards, nblk, L, m, 2]
-            arr = arr.reshape(arr.shape[0], -1, *arr.shape[-3:])
+        # arr: [npts, nblk, nleaves, (extra shard axes...), m, 2]; the limb
+        # slice below flattens any extra axes into the summed rows
         nl = self.limbs_per_base
         out = []
         for t in range(arr.shape[0]):
