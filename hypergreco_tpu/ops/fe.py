@@ -243,10 +243,27 @@ class Backend:
 
         # NB: call this on MATERIALIZED digests (its own jit), never inside
         # the producing program — stacking many fused reduce-producer chains
-        # re-triggers XLA:CPU's multi-MB concatenate-fusion kernels
+        # re-triggers XLA:CPU's multi-MB concatenate-fusion kernels.
+        # Digest chunk counts vary with the (flattened) input size — e.g. a
+        # short final term block — so pad rows to the max with zeros (neutral
+        # for the additive digest sums).
+        leaves = [
+            [jax.tree.leaves(dg) for dg in blks] for blks in dgs
+        ]
+        mmax = max(
+            l.shape[-2] for blks in leaves for dg in blks for l in dg
+        )
+
+        def pad(a):
+            if a.shape[-2] == mmax:
+                return a
+            width = [(0, 0)] * a.ndim
+            width[-2] = (0, mmax - a.shape[-2])
+            return jnp.pad(a, width)
+
         rows = [
-            jnp.stack([jnp.stack(jax.tree.leaves(dg)) for dg in blks])
-            for blks in dgs
+            jnp.stack([jnp.stack([pad(l) for l in dgl]) for dgl in blksl])
+            for blksl in leaves
         ]
         return jnp.stack(rows)
 
