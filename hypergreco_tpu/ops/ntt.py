@@ -1,4 +1,4 @@
-"""Number-theoretic transform over Goldilocks (cyclic DFT at 2^k roots).
+"""Number-theoretic transform (cyclic DFT at 2^k roots) for any backend.
 
 Semantics: NTT(x)[k] = sum_j x[j] * w^(jk), INTT = inverse with w^-1 and
 1/L scaling — the size-preserving DFT behind the reference's FftNode
@@ -12,7 +12,10 @@ Pure gather + mul + add — no concatenate/dynamic_slice, which XLA:CPU's
 fusion emitter handles pathologically (see gkr/sumcheck.py).
 
 Also provides the DFT-row MLE table d_r[j] = prod_b ((1-r_b) + r_b*w^(j 2^b))
-used by the FftNode claim reduction: out~(r) = sum_j d_r[j] * in[j].
+used by the FftNode claim reduction: out~(r) = sum_j d_r(j) * in(j).
+
+Works for Goldilocks (2-adicity 32) and BN254 Fr (2-adicity 28); roots come
+from the FieldSpec's generator convention.
 """
 
 from __future__ import annotations
@@ -23,52 +26,43 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import GOLDILOCKS
 from .fe import Backend, get_backend
-from .gl import GL, P
 
 
 @lru_cache(maxsize=None)
-def _plan(L: int, inverse: bool):
-    """Host-side butterfly plan: (bitrev, [(p0, p1, tw_lo, tw_hi)] stages)."""
+def _plan(be_name: str, L: int, inverse: bool):
+    """Host-side butterfly plan: (bitrev idx, [(p0, p1, tw_device)] stages)."""
+    be = get_backend(be_name)
+    p = be.spec.p
     logl = L.bit_length() - 1
     assert 1 << logl == L
-    w = GOLDILOCKS.root_of_unity(L)
+    w = be.spec.root_of_unity(L)
     if inverse:
-        w = pow(w, P - 2, P)
+        w = pow(w, p - 2, p)
 
-    bits = logl
     bitrev = np.zeros(L, dtype=np.int32)
     for i in range(L):
-        bitrev[i] = int(format(i, f"0{bits}b")[::-1], 2) if bits else 0
+        bitrev[i] = int(format(i, f"0{logl}b")[::-1], 2) if logl else 0
 
     stages = []
     for s in range(1, logl + 1):
         m = 1 << s
         half = m // 2
-        wm = pow(w, L // m, P)
+        wm = pow(w, L // m, p)
         p0 = np.zeros(L, dtype=np.int32)
         p1 = np.zeros(L, dtype=np.int32)
-        tw = np.zeros(L, dtype=object)
+        tw = [0] * L
         for i in range(L):
             j = i & (m - 1)
             if j < half:
                 p0[i] = i
                 p1[i] = i + half
-                tw[i] = pow(wm, j, P)
+                tw[i] = pow(wm, j, p)
             else:
                 p0[i] = i - half
                 p1[i] = i
-                tw[i] = P - pow(wm, j - half, P)
-        tw64 = np.array([int(t) for t in tw], dtype=np.uint64)
-        stages.append(
-            (
-                p0,
-                p1,
-                (tw64 & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-                (tw64 >> np.uint64(32)).astype(np.uint32),
-            )
-        )
+                tw[i] = p - pow(wm, j - half, p)
+        stages.append((p0, p1, be.from_ints(tw)))
     return bitrev, stages
 
 
@@ -76,13 +70,12 @@ def _plan(L: int, inverse: bool):
 def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
     be = get_backend(be_name)
     L = 1 << logl
-    bitrev, stages = _plan(L, inverse)
-    linv = pow(L, P - 2, P)
+    bitrev, stages = _plan(be_name, L, inverse)
+    linv = pow(L, be.spec.p - 2, be.spec.p)
 
     def run(x):
         x = jax.tree.map(lambda a: a[..., bitrev], x)
-        for p0, p1, tlo, thi in stages:
-            twid = GL(jnp.asarray(tlo), jnp.asarray(thi))
+        for p0, p1, twid in stages:
             lo = jax.tree.map(lambda a: a[..., p0], x)
             hi = jax.tree.map(lambda a: a[..., p1], x)
             x = be.add(lo, be.mul(twid, hi))
@@ -94,10 +87,11 @@ def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
 
 
 def ntt(be: Backend, x, inverse: bool = False):
-    """Cyclic NTT/INTT of a GL (or ext) vector; length must be 2^k <= 2^32."""
+    """Cyclic NTT/INTT of a field vector; length 2^k within the 2-adicity."""
     n = be.length(x)
     logl = n.bit_length() - 1
     assert 1 << logl == n
+    assert logl <= be.spec.two_adicity
     return _ntt_jit(be.spec.name, logl, inverse, be._mod(x) is be.ext)(x)
 
 
@@ -107,19 +101,18 @@ def ntt(be: Backend, x, inverse: bool = False):
 
 
 @lru_cache(maxsize=None)
-def _wpow_table(L: int, inverse: bool):
-    w = GOLDILOCKS.root_of_unity(L)
+def _wpow_table(be_name: str, L: int, inverse: bool):
+    be = get_backend(be_name)
+    p = be.spec.p
+    w = be.spec.root_of_unity(L)
     if inverse:
-        w = pow(w, P - 2, P)
-    pows = np.zeros(L, dtype=np.uint64)
+        w = pow(w, p - 2, p)
+    pows = []
     acc = 1
-    for j in range(L):
-        pows[j] = acc
-        acc = acc * w % P
-    return (
-        (pows & np.uint64(0xFFFFFFFF)).astype(np.uint32),
-        (pows >> np.uint64(32)).astype(np.uint32),
-    )
+    for _ in range(L):
+        pows.append(acc)
+        acc = acc * w % p
+    return be.from_ints(pows)
 
 
 @lru_cache(maxsize=None)
@@ -128,18 +121,17 @@ def _dr_jit(be_name: str, logl: int, inverse: bool, npoints: int):
     the alpha-combined DFT-row MLE table (scaled by 1/L for inverse)."""
     be = get_backend(be_name)
     L = 1 << logl
-    wlo, whi = _wpow_table(L, inverse)
-    linv = pow(L, P - 2, P)
+    linv = pow(L, be.spec.p - 2, be.spec.p)
 
-    def run(points, alphas):
-        # points: ext [npoints, logl]; alphas: ext [npoints]
+    def run(points, alphas, wtab):
         acc = None
-        wtab = GL(jnp.asarray(wlo), jnp.asarray(whi))
         for i in range(npoints):
             prod = None
             for b in range(logl):
-                idx = (np.arange(L, dtype=np.int64) << b) % L
-                wb = jax.tree.map(lambda a: a[idx.astype(np.int32)], wtab)
+                idx = ((np.arange(L, dtype=np.int64) << b) % L).astype(
+                    np.int32
+                )
+                wb = jax.tree.map(lambda a: a[idx], wtab)
                 rb = be.index(points, (i, b))
                 factor = be.add(
                     be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb)
@@ -168,4 +160,5 @@ def dft_row_mle(be: Backend, points, alphas, logl: int, inverse: bool):
     )
     pts = be.reshape(pts, (len(points), logl))
     al = be.from_ints([spec._c(a) for a in alphas], ext=True)
-    return _dr_jit(spec.name, logl, inverse, len(points))(pts, al)
+    wtab = _wpow_table(spec.name, 1 << logl, inverse)
+    return _dr_jit(spec.name, logl, inverse, len(points))(pts, al, wtab)

@@ -76,3 +76,23 @@ def test_bn254_sumcheck_roundtrip():
     tr = TranscriptReader(SPEC, tw.into_proof())
     vclaim, vpoint = sc.verify_sum_check(SPEC, 2, v, claim, tr)
     assert vclaim == fclaim and vpoint == point
+
+
+def test_bn254_root_of_unity_and_ntt():
+    from hypergreco_tpu.ops import ntt
+
+    # generator-derived root has exact order
+    L = 16
+    w = SPEC.root_of_unity(L)
+    assert pow(w, L, P) == 1 and pow(w, L // 2, P) != 1
+
+    rng = random.Random(5)
+    xs = [rng.randrange(P) for _ in range(L)]
+    fwd = ntt.ntt(BE, BE.from_ints(xs))
+    want = [
+        sum(x * pow(w, j * k, P) for j, x in enumerate(xs)) % P
+        for k in range(L)
+    ]
+    assert bn254.to_ints(fwd) == want
+    back = bn254.to_ints(ntt.ntt(BE, fwd, inverse=True))
+    assert back == xs
