@@ -62,12 +62,19 @@ def lookups_to_selectors(lookup_ids: List[str], num_vars: int):
 
 @lru_cache(maxsize=None)
 def _dims_jit(be_name: str, logl: int, num_chunks: int):
-    """GL inputs [L] -> per-chunk int32 addresses (16-bit limb extraction)."""
+    """Field inputs [L] -> per-chunk int32 addresses (16-bit limb
+    extraction from the little-endian uint32 limb leaves — field-generic:
+    chunk c lives in limb c//2)."""
 
     def run(inputs):
-        lo, hi = inputs.lo, inputs.hi
-        chunks = [lo & 0xFFFF, lo >> 16, hi & 0xFFFF, hi >> 16]
-        return [c.astype(jnp.int32) for c in chunks[:num_chunks]]
+        leaves = jax.tree.leaves(inputs)
+        chunks = []
+        for c in range(num_chunks):
+            limb = leaves[c // 2]
+            chunks.append(
+                ((limb >> (16 * (c % 2))) & 0xFFFF).astype(jnp.int32)
+            )
+        return chunks
 
     return jax.jit(run)
 
@@ -113,15 +120,21 @@ def _epoly_jit(be_name: str, logl: int, logm: int):
 
 
 @lru_cache(maxsize=None)
-def _int_to_gl_jit(be_name: str, shape_key: tuple):
+def _int_to_base_jit(be_name: str, shape_key: tuple):
+    be = get_backend(be_name)
+
     def run(x):
-        return GL(x.astype(jnp.uint32), jnp.zeros_like(x, dtype=jnp.uint32))
+        u = x.astype(jnp.uint32)
+        if be.from_u32 is not None:
+            return be.from_u32(u)
+        return GL(u, jnp.zeros_like(u))
 
     return jax.jit(run)
 
 
 def _as_gl(be, x):
-    return _int_to_gl_jit(be.spec.name, tuple(x.shape))(x)
+    """int32/uint32 array of small values -> base field vector."""
+    return _int_to_base_jit(be.spec.name, tuple(x.shape))(x)
 
 
 class LassoNode:

@@ -96,3 +96,21 @@ def test_bn254_root_of_unity_and_ntt():
     assert bn254.to_ints(fwd) == want
     back = bn254.to_ints(ntt.ntt(BE, fwd, inverse=True))
     assert back == xs
+
+
+def test_bn254_lasso_polynomialize_paths():
+    """Field-generic dims extraction + counters + E gather on BN254."""
+    from hypergreco_tpu.lasso.node import _dims_jit, _as_gl
+    import jax.numpy as jnp
+
+    rng = random.Random(6)
+    vals = [rng.randrange(1 << 60) for _ in range(8)]
+    fr = BE.from_ints(vals)
+    chunks = _dims_jit("bn254", 3, 4)(fr)
+    for c in range(4):
+        got = [int(x) for x in chunks[c]]
+        assert got == [(v >> (16 * c)) & 0xFFFF for v in vals], c
+    import numpy as np
+
+    arr = jnp.asarray(np.arange(8, dtype=np.int32))
+    assert bn254.to_ints(_as_gl(BE, arr)) == list(range(8))
