@@ -204,6 +204,7 @@ class VanillaNode(Node):
         self.Y = G * num_reps
         self.S = (1 << log2_sub_input_size) * num_reps  # per-poly input size
         self._wiring = None
+        self._wiring_p = None
         self._progs = {}
 
     def log2_output_size(self) -> int:
@@ -211,9 +212,12 @@ class VanillaNode(Node):
 
     # ----- static wiring arrays -----
 
-    def _build_wiring(self):
+    def _build_wiring(self, p=None):
+        if p is not None and self._wiring_p is None:
+            self._wiring_p = p
         if self._wiring is not None:
             return self._wiring
+        assert self._wiring_p is not None, "first wiring call must pass p"
         G, R, Y, Ssub = self.G, self.R, self.Y, 1 << self.log2_sub
         L1 = max((len(g.linear) for g in self.gates), default=0)
         L2 = max((len(g.quadratic) for g in self.gates), default=0)
@@ -235,9 +239,7 @@ class VanillaNode(Node):
             }
             for _ in range(L2)
         ]
-        from ..fields import GOLDILOCKS  # base coeffs are < p (host ints)
-
-        p = GOLDILOCKS.p
+        p = self._wiring_p
         for rep in range(R):
             for g, gate in enumerate(self.gates):
                 y = rep * G + g
@@ -264,25 +266,31 @@ class VanillaNode(Node):
         return self._wiring
 
     @staticmethod
-    def _gl_const(arr_u64):
-        return GL(
-            jnp.asarray((arr_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((arr_u64 >> np.uint64(32)).astype(np.uint32)),
-        )
+    def _const_vec(be, arr_u64):
+        """u64 numpy constants -> base field device vector (field-generic:
+        lo + 2^32 * hi from two uint32 planes; wiring constants are < 2^64
+        after reduction mod p for Goldilocks, and the BFV constants fit u64
+        for BN254 as well)."""
+        lo = jnp.asarray((arr_u64 & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+        hi = jnp.asarray((arr_u64 >> np.uint64(32)).astype(np.uint32))
+        out = be.from_u32(lo)
+        if bool(np.any(arr_u64 >> np.uint64(32))):
+            out = be.add(out, be.scale(be.from_u32(hi), 1 << 32))
+        return out
 
     # ----- forward evaluation -----
 
     def evaluate(self, be: Backend, inputs: list):
-        const, lin, quad = self._build_wiring()
+        const, lin, quad = self._build_wiring(be.spec.p)
         key = "eval"
         if key not in self._progs:
 
             def run(flat):
-                out = self._gl_const(const)
+                out = self._const_vec(be, const)
                 for sl in lin:
                     src = sl["src"].astype(np.int32)
                     g = jax.tree.map(lambda a: a[src], flat)
-                    out = be.add(out, be.mul(self._gl_const(sl["coef"]), g))
+                    out = be.add(out, be.mul(self._const_vec(be, sl["coef"]), g))
                 for sq in quad:
                     ga = jax.tree.map(
                         lambda a: a[sq["a"].astype(np.int32)], flat
@@ -293,7 +301,7 @@ class VanillaNode(Node):
                     out = be.add(
                         out,
                         be.mul(
-                            self._gl_const(sq["coef"]), be.mul(ga, gb)
+                            self._const_vec(be, sq["coef"]), be.mul(ga, gb)
                         ),
                     )
                 return out
@@ -306,7 +314,7 @@ class VanillaNode(Node):
 
     def _phase1_parts(self, be, Eq, flat):
         """Prover scatters: A_flat [P*S] and H_q tables [S] per quad slot."""
-        const, lin, quad = self._build_wiring()
+        const, lin, quad = self._build_wiring(be.spec.p)
         P, S = self.P, self.S
         key = "phase1"
         if key not in self._progs:
@@ -314,7 +322,7 @@ class VanillaNode(Node):
             def run(Eq, flat):
                 A = None
                 for sl in lin:
-                    vals = be.mul(Eq, self._gl_const(sl["coef"]))
+                    vals = be.mul(Eq, self._const_vec(be, sl["coef"]))
                     part = be.scatter_add_mod(
                         jnp.asarray(sl["src"].astype(np.int32)), vals, P * S
                     )
@@ -327,19 +335,19 @@ class VanillaNode(Node):
                         lambda a: a[sq["b"].astype(np.int32)], flat
                     )
                     vals = be.mul(
-                        be.mul(Eq, self._gl_const(sq["coef"])), gb
+                        be.mul(Eq, self._const_vec(be, sq["coef"])), gb
                     )
                     tgt = (sq["a"] - sq["pa"] * S).astype(np.int32)
                     Hs.append(be.scatter_add_mod(jnp.asarray(tgt), vals, S))
                 # dot <Eq, const>
-                cdot = be.sum_digest(be.mul(Eq, self._gl_const(const)))
+                cdot = be.sum_digest(be.mul(Eq, self._const_vec(be, const)))
                 return A, Hs, cdot
 
             self._progs[key] = jax.jit(run)
         return self._progs[key](Eq, flat)
 
     def _w_tables(self, be, Eq, eq_u):
-        const, lin, quad = self._build_wiring()
+        const, lin, quad = self._build_wiring(be.spec.p)
         S = self.S
         key = "w"
         if key not in self._progs:
@@ -350,7 +358,7 @@ class VanillaNode(Node):
                     ga = (sq["a"] - sq["pa"] * S).astype(np.int32)
                     gbt = (sq["b"] - sq["pb"] * S).astype(np.int32)
                     vals = be.mul(
-                        be.mul(Eq, self._gl_const(sq["coef"])),
+                        be.mul(Eq, self._const_vec(be, sq["coef"])),
                         jax.tree.map(lambda a: a[ga], eq_u),
                     )
                     Ws.append(be.scatter_add_mod(jnp.asarray(gbt), vals, S))
@@ -376,7 +384,7 @@ class VanillaNode(Node):
 
     def prove_claim_reduction(self, be, claims, inputs, transcript):
         spec = be.spec
-        const, lin, quad = self._build_wiring()
+        const, lin, quad = self._build_wiring(be.spec.p)
         points, alphas, combined = _combine_claims(be, claims, transcript)
         Eq = eq_rlc_table(be, points, alphas)
         flat = _concat_flat(be, inputs, self.P, self.S)
@@ -427,7 +435,7 @@ class VanillaNode(Node):
 
     def verify_claim_reduction(self, be, claims, transcript):
         spec = be.spec
-        const, lin, quad = self._build_wiring()
+        const, lin, quad = self._build_wiring(be.spec.p)
         points, alphas, combined = _combine_claims(be, claims, transcript)
         Eq = eq_rlc_table(be, points, alphas)
         # device-assisted public recompute of A and <Eq, const>
@@ -437,7 +445,7 @@ class VanillaNode(Node):
             def run(Eq):
                 A = None
                 for sl in lin:
-                    vals = be.mul(Eq, self._gl_const(sl["coef"]))
+                    vals = be.mul(Eq, self._const_vec(be, sl["coef"]))
                     part = be.scatter_add_mod(
                         jnp.asarray(sl["src"].astype(np.int32)),
                         vals,
@@ -446,7 +454,7 @@ class VanillaNode(Node):
                     A = part if A is None else be.add(A, part)
                 if A is None:
                     A = be.zeros((self.P * self.S,), ext=True)
-                cdot = be.sum_digest(be.mul(Eq, self._gl_const(const)))
+                cdot = be.sum_digest(be.mul(Eq, self._const_vec(be, const)))
                 return A, cdot
 
             self._progs[key] = jax.jit(run)

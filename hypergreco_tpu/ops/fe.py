@@ -317,8 +317,19 @@ class Backend:
         return tuple(vals)
 
 
+def _gl_from_u32(col):
+    import jax.numpy as jnp
+
+    return GL(col, jnp.zeros_like(col))
+
+
 GL_BACKEND = Backend(
-    spec=GOLDILOCKS, base=_gl, ext=_glext, base_cls=GL, ext_cls=GL2
+    spec=GOLDILOCKS,
+    base=_gl,
+    ext=_glext,
+    base_cls=GL,
+    ext_cls=GL2,
+    from_u32=_gl_from_u32,
 )
 
 _BACKENDS = {"goldilocks": GL_BACKEND}
