@@ -1,6 +1,9 @@
 """BN254 Fr device kernels vs Python-int oracles + engine smoke test."""
 
+import os
 import random
+
+import pytest
 
 from hypergreco_tpu.gkr import sumcheck as sc
 from hypergreco_tpu.ops import mle
@@ -114,3 +117,24 @@ def test_bn254_lasso_polynomialize_paths():
 
     arr = jnp.asarray(np.arange(8, dtype=np.int32))
     assert bn254.to_ints(_as_gl(BE, arr)) == list(range(8))
+
+
+@pytest.mark.skipif(
+    not os.environ.get("HYPERGRECO_BIG_TESTS"),
+    reason="~12min of FR-program compiles; set HYPERGRECO_BIG_TESTS=1",
+)
+def test_bn254_bfv_forward_matches_ct0is():
+    """Full BFV circuit forward evaluation over BN254 on the reference
+    fixture: the sum node output must equal the ct0is vector."""
+    from hypergreco_tpu.models.bfv.circuit import BfvEncrypt, load_witness_json
+    from hypergreco_tpu.models.bfv.constants import SK_ENC_1024_1x27
+
+    args = load_witness_json(
+        "/root/reference/bfv-gkr/src/data/bn254/sk_enc_1024_1x27_65537.json"
+    )
+    bfv = BfvEncrypt(SK_ENC_1024_1x27, be=BE)
+    pk, _ = bfv.setup()
+    circuit = bfv._circuit(pk)
+    inputs_dense, ct0is_dense = bfv.get_inputs(args)
+    values = circuit.evaluate([BE.from_ints(x) for x in inputs_dense])
+    assert BE.to_host(values[max(circuit.output_ids())]) == ct0is_dense
