@@ -668,18 +668,44 @@ class Circuit:
         return values
 
 
-def prove_gkr(circuit: Circuit, values: list, output_claims: list, transcript):
+def prove_gkr(
+    circuit: Circuit,
+    values: list,
+    output_claims: list,
+    transcript,
+    checkpoint_cb=None,
+    resume=None,
+):
     """output_claims: [(point, value)] per output node (insertion order).
-    Returns claims per input node."""
+    Returns claims per input node.
+
+    Checkpoint/resume (SURVEY.md §5.4: per-GKR-node checkpointing of the
+    transcript state + claim frontier for multi-hour proofs):
+    - `checkpoint_cb(state)` is invoked after every node reduction with a
+      picklable dict (transcript snapshot + claim frontier + node cursor).
+    - `resume=state` fast-forwards a FRESH transcript/claims to that point
+      (the circuit and `values` are rebuilt by the caller — node values are
+      deterministic re-evaluations of the inputs)."""
     be = circuit.be
     claims = [[] for _ in circuit.nodes]
     outs = circuit.output_ids()
     assert len(output_claims) == len(outs)
     for nid, cl in zip(outs, output_claims):
         claims[nid] = [cl]
-    for nid in reversed(circuit.topo_order()):
+    order = [
+        nid for nid in reversed(circuit.topo_order())
+        if not circuit.nodes[nid].is_input()
+    ]
+    start = 0
+    if resume is not None:
+        transcript.restore(resume["transcript"])
+        claims = [list(c) for c in resume["claims"]]
+        start = resume["next_index"]
+    for idx, nid in enumerate(order):
+        if idx < start:
+            continue
         node = circuit.nodes[nid]
-        if node.is_input() or not claims[nid]:
+        if not claims[nid]:
             continue
         ins = circuit.node_inputs[nid]
         with span(f"{type(node).__name__}[{nid}]::prove_claim_reduction"):
@@ -689,6 +715,14 @@ def prove_gkr(circuit: Circuit, values: list, output_claims: list, transcript):
         assert len(child) == len(ins)
         for cid, cls_ in zip(ins, child):
             claims[cid].extend(cls_)
+        if checkpoint_cb is not None:
+            checkpoint_cb(
+                {
+                    "next_index": idx + 1,
+                    "transcript": transcript.snapshot(),
+                    "claims": [list(c) for c in claims],
+                }
+            )
     return [claims[i] for i in circuit.input_ids()]
 
 

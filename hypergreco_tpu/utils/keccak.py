@@ -103,6 +103,16 @@ class _PyKeccak:
         self._st = [0] * 25
         self._buf = bytearray()
 
+    def snapshot(self) -> bytes:
+        st = b"".join(x.to_bytes(8, "little") for x in self._st)
+        return st + bytes(self._buf)
+
+    def restore(self, blob: bytes):
+        self._st = [
+            int.from_bytes(blob[8 * i : 8 * i + 8], "little") for i in range(25)
+        ]
+        self._buf = bytearray(blob[200:])
+
     def update(self, data: bytes):
         self._buf.extend(data)
         while len(self._buf) >= _RATE:
@@ -141,6 +151,13 @@ class _NativeKeccak:
         out = ctypes.create_string_buffer(32)
         self._lib.hg_keccak_finalize_reset(self._state, out)
         return out.raw
+
+    def snapshot(self) -> bytes:
+        return bytes(self._state.raw)
+
+    def restore(self, blob: bytes):
+        assert len(blob) == 208
+        ctypes.memmove(self._state, blob, 208)
 
 
 def new_keccak256():

@@ -79,6 +79,20 @@ class TranscriptWriter(_TranscriptBase):
     def into_proof(self) -> bytes:
         return bytes(self._stream)
 
+    # -- checkpoint/resume (SURVEY.md §5.4: portable transcript state) --
+
+    def snapshot(self) -> dict:
+        return {
+            "hash": self._hash.snapshot(),
+            "stream": bytes(self._stream),
+            "spec": self.spec.name,
+        }
+
+    def restore(self, snap: dict):
+        assert snap["spec"] == self.spec.name
+        self._hash.restore(snap["hash"])
+        self._stream = bytearray(snap["stream"])
+
 
 class TranscriptReader(_TranscriptBase):
     def __init__(self, spec: FieldSpec, proof: bytes):
