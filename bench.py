@@ -33,7 +33,14 @@ FIXTURE = (
 
 
 def main():
-    args = load_witness_json(FIXTURE)
+    if os.path.exists(FIXTURE):
+        args = load_witness_json(FIXTURE)
+    else:  # standalone: generate a fresh witness with the native generator
+        from hypergreco_tpu.models.bfv.witness_gen import generate_witness
+
+        args, _ = generate_witness(
+            1024, list(SK_ENC_1024_1x27.QIS), seed=0
+        )
     bfv = BfvEncrypt(SK_ENC_1024_1x27)
     pk, vk = bfv.setup()
 
