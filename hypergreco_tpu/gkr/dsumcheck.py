@@ -1,0 +1,195 @@
+"""Fused device-resident sumcheck prover.
+
+Plays ALL rounds of a sumcheck inside one traced program: per round it
+evaluates the round polynomial (stride-fold fixed-buffer layout, identical
+math and transcript messages to gkr/sumcheck.py), absorbs the evals into the
+on-device Fiat-Shamir transcript (dtranscript.py), squeezes the challenge
+and folds — zero host involvement. The round count `v` is a TRACED int32 so
+one compiled program per (expression, buffer-size) serves every active size
+(grand-product tree layers l = 1..v-1 share one compile).
+
+`rounds()` is a plain traceable function so node-level provers can inline it
+into larger single-dispatch programs; `prove()` is the standalone jitted
+wrapper (used by tests and simple callers).
+
+Protocol/messages: identical to sumcheck.prove_sum_check — the host
+TranscriptReader verifies unchanged. Reference parity: the same
+`prove_sum_check` role as the external gkr crate (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fe import Backend, get_backend
+from ..ops import mle
+from . import dtranscript as dt
+from .sumcheck import (
+    _TERM_BLOCK,
+    _eval_points,
+    _expr_layout,
+    _kinds,
+    _rows,
+    _shift_cols,
+    _stack_jit,
+    SumcheckExpr,
+)
+
+
+def field_sum(be: Backend, x):
+    """Field-sum a small [m] vector -> 0-d, padding to a power of two.
+
+    For in-program digest finishes (m = flattened-size / 2^15 chunks, m is
+    small); the halving tree runs over materialized reduce outputs so the
+    XLA:CPU producer re-execution pathology (fe.Backend.sum docstring) is
+    bounded."""
+    m = be.length(x)
+    M = 1 << (m - 1).bit_length() if m > 1 else 1
+    if M != m:
+        pad = be.zeros((M - m,), ext=be._mod(x) is be.ext)
+        x = be.concat([x, pad])
+    while M > 1:
+        lo, hi = be.halves(x)
+        x = be.add(lo, hi)
+        M //= 2
+    return be.index(x, 0)
+
+
+def digest_scalar(be: Backend, prod):
+    """Masked [b, N] field vector -> 0-d field element, on device.
+
+    sum_digest's native uint32 16-bit-column reduction (fusion-safe) followed
+    by an in-program modular finish — the device twin of
+    Backend.digest_value."""
+    dg = be.sum_digest(prod)
+    leaves = jax.tree.leaves(dg)
+    nl = be.limbs_per_base
+    coeffs = []
+    for i in range(0, len(leaves), nl):
+        acc = None
+        for j in range(nl):
+            d = leaves[i + j]  # [m, 2] uint32: (lo16-sum, hi16-sum) chunks
+            lov = be.from_u32(d[:, 0])
+            hiv = be.from_u32(d[:, 1])
+            limb = be.base.add(lov, be.base.scale(hiv, 1 << 16))
+            s = field_sum(be, limb)
+            if j:
+                s = be.base.scale(s, (1 << (32 * j)) % be.spec.p)
+            acc = s if acc is None else be.base.add(acc, s)
+        coeffs.append(acc)
+    if len(coeffs) == 1:
+        return coeffs[0]
+    return be.ext_cls(*coeffs)
+
+
+def _stack_scalars(be: Backend, scalars):
+    """List of 0-d ext elements -> [n] ext device vector."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *scalars)
+
+
+def _zero_ext(be: Backend):
+    return be.zeros((), ext=True)
+
+
+def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
+           stk, cdev, dtx, v, l_act):
+    """Traced fused sumcheck: v rounds (v traced int32) over the stacked
+    [T+1, 2^logn] ext buffer `stk` (last row ones).
+
+    Returns (chal [logn] ext buffer — rows >= v are garbage, final_evals
+    [T] ext, dtx)."""
+    num_tables, terms = expr_key
+    degree = max(len(f) for _, f in terms)
+    ts = _eval_points(degree)
+    N = 1 << logn
+    fidx, cidx = _expr_layout(expr_key, num_coeffs, degree)
+    nterms = len(terms)
+
+    chal0 = be.zeros((logn,), ext=True)
+
+    def body(j, carry):
+        stk, dtx, r, chal = carry
+        sc = jnp.left_shift(jnp.int32(1), j)
+        # entry fold with stride sc//2 binds the previous round's variable;
+        # round 0: stride 0 (identity gather) and r = 0 -> no-op
+        hi0 = _shift_cols(stk, sc >> 1, N)
+        stk = be.add(stk, be.mul(r, be.sub(hi0, stk)))
+        his = _shift_cols(stk, sc, N)
+        diffs = be.sub(his, stk)
+        x = jnp.arange(N, dtype=jnp.int32)
+        mask = (((x & (2 * sc - 1)) == 0) & (x < l_act))[None, :]
+        evals = []
+        cur = his
+        for t in ts:
+            if t == 0:
+                tabs = stk
+            else:
+                cur = be.add(cur, diffs)
+                tabs = cur
+            acc = None
+            for lo_i in range(0, nterms, _TERM_BLOCK):
+                sl = slice(lo_i, min(lo_i + _TERM_BLOCK, nterms))
+                prod = _rows(tabs, fidx[0][sl])
+                for k in range(1, degree):
+                    prod = be.mul(prod, _rows(tabs, fidx[k][sl]))
+                ci_blk = cidx[sl]
+                cs = jax.tree.map(lambda a: a[ci_blk, None], cdev)
+                prod = be.mul(prod, cs)
+                b = sl.stop - sl.start
+                prod = be.select(mask, prod, be.ext.zeros((b, N)))
+                d = digest_scalar(be, prod)
+                acc = d if acc is None else be.add(acc, d)
+            evals.append(acc)
+        ev = _stack_scalars(be, evals)
+        dtx = dt.write_ext(be, dtx, ev)
+        r, dtx = dt.squeeze_challenge(be, dtx)
+        chal = jax.tree.map(
+            lambda c, rv: c.at[j].set(rv), chal, r
+        )
+        return stk, dtx, r, chal
+
+    stk, dtx, r, chal = jax.lax.fori_loop(
+        0, v, body, (stk, dtx, _zero_ext(be), chal0)
+    )
+    # final fold: active pair at columns 0 and l_act/2
+    s = jnp.maximum(l_act >> 1, 1)
+    e = jax.tree.map(lambda a: a[:num_tables, 0], stk)
+    o = jax.tree.map(lambda a: a[:num_tables, s], stk)
+    final = be.add(e, be.mul(r, be.sub(o, e)))
+    return chal, final, dtx
+
+
+@lru_cache(maxsize=None)
+def _prove_jit(be_name: str, expr_key: tuple, num_coeffs: int, logn: int):
+    be = get_backend(be_name)
+
+    def run(stk, cdev, dtx, v, l_act):
+        return rounds(be, expr_key, num_coeffs, logn, stk, cdev, dtx, v, l_act)
+
+    return jax.jit(run)
+
+
+def coeffs_device(be: Backend, coeffs_host):
+    """Static host coeffs (+ the implicit trailing one) -> ext device [k+1]."""
+    spec = be.spec
+    return be.from_ints([spec._c(c) for c in coeffs_host] + [spec.one], ext=True)
+
+
+def prove_sum_check_device(be, expr: SumcheckExpr, cdev, tables, dtx,
+                           num_vars=None):
+    """Standalone fused sumcheck dispatch.
+
+    cdev: ext device [len(coeffs)+1] (coeffs_device for static hosts coeffs,
+    or challenge-derived powers built on device). Returns
+    (chal_buf [bufv] ext device, final_evals [T] ext device, dtx)."""
+    bv = mle.num_vars(be, tables[0])
+    v = bv if num_vars is None else num_vars
+    assert 1 <= v <= bv
+    assert len(tables) == expr.num_tables
+    stk = _stack_jit(be.spec.name, len(tables), bv, _kinds(be, tables))(tables)
+    ncoeffs = be.length(cdev) - 1
+    fn = _prove_jit(be.spec.name, expr.key(), ncoeffs, bv)
+    return fn(stk, cdev, dtx, jnp.int32(v), jnp.int32(1 << v))

@@ -1,0 +1,158 @@
+"""Device-resident Fiat-Shamir transcript (the round-2 perf keystone).
+
+The round-1 prover squeezed every sumcheck challenge on the host: one
+device->host transfer per round, ~430 rounds per proof, 10-100 ms each over
+the TPU tunnel (BENCH_r01: 20.9 s vs the reference's 103 ms). This module
+keeps the transcript ON DEVICE so the whole prover becomes an async pipeline
+of enqueued programs: the host never reads a device value until the final
+proof-felt log fetch.
+
+Byte semantics are identical to the host transcript (utils/transcript.py,
+mirroring bfv-gkr/src/transcript.rs): absorb = streaming keccak update of
+the canonical little-endian felt bytes; squeeze = finalize_reset, re-absorb
+digest, map digest to the field (fe_mod_from_le_bytes parity). The proof
+stream is reconstructed on the host from the felt log (same bytes the device
+absorbed), so TranscriptReader verifies device-built proofs unchanged.
+
+DTx pytree:
+  sponge    : keccak_jax.Sponge (uint32[25] lane planes + lane pos)
+  log_lo/hi : uint32[cap] proof-felt lanes (a Goldilocks felt = 1 lane;
+              a BN254 felt = 4 lanes)
+  log_len   : int32 lanes written so far
+
+Only lane-multiple encodings are supported (GL: 8 bytes, BN254 Fr: 32).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import keccak_jax as kj
+from ..ops.fe import Backend
+
+
+class DTx(NamedTuple):
+    sponge: kj.Sponge
+    log_lo: jnp.ndarray
+    log_hi: jnp.ndarray
+    log_len: jnp.ndarray  # int32
+
+
+def new_dtx(cap_lanes: int, host_snapshot: bytes | None = None) -> DTx:
+    sp = (
+        kj.sponge_from_snapshot(host_snapshot)
+        if host_snapshot is not None
+        else kj.new_sponge()
+    )
+    z = jnp.zeros((cap_lanes,), dtype=jnp.uint32)
+    return DTx(sp, z, z, jnp.int32(0))
+
+
+# ---------------------------------------------------------------------------
+# felt <-> lane packing (per backend)
+# ---------------------------------------------------------------------------
+
+
+def _felt_lanes(be: Backend, x) -> tuple:
+    """Base-field device element(s) -> (lanes_lo, lanes_hi) flat uint32[n].
+
+    x is a base-field pytree whose leaves are little-endian uint32 limbs
+    (GL: 2 limbs = 1 lane; BN254 FR: 8 limbs = 4 lanes). Leaves may be 0-d
+    or [k]-shaped (k felts absorbed in element order)."""
+    leaves = [jnp.atleast_1d(a) for a in jax.tree.leaves(x)]
+    nl = be.limbs_per_base
+    assert len(leaves) % nl == 0
+    lanes_lo, lanes_hi = [], []
+    for base in range(0, len(leaves), nl):
+        for j in range(0, nl, 2):
+            # felt-major order: felt k's lanes must be consecutive
+            lanes_lo.append(jnp.stack([leaves[base + j]], axis=-1))
+            lanes_hi.append(jnp.stack([leaves[base + j + 1]], axis=-1))
+    # each entry is [k, 1]; concat along lane axis then flatten felt-major
+    lo = jnp.concatenate(lanes_lo, axis=-1).reshape(-1)
+    hi = jnp.concatenate(lanes_hi, axis=-1).reshape(-1)
+    return lo, hi
+
+
+def _ext_lanes(be: Backend, x) -> tuple:
+    """Ext-field element(s) -> lanes in coefficient order (transcript.rs
+    parity: DEGREE base felts per ext felt)."""
+    if be.ext_cls is be.base_cls:
+        return _felt_lanes(be, x)
+    # GL2(a0, a1): leaves are [a0.lo, a0.hi, a1.lo, a1.hi] and
+    # coefficient-major == leaf order handled by _felt_lanes
+    return _felt_lanes(be, x)
+
+
+def _absorb(sponge, lo, hi):
+    """Absorb n (static) lanes, chunked to the <=17-lane primitive."""
+    n = lo.shape[0]
+    for s in range(0, n, kj.RATE_LANES):
+        e = min(s + kj.RATE_LANES, n)
+        sponge = kj.absorb_lanes(sponge, lo[s:e], hi[s:e])
+    return sponge
+
+
+def common_ext(be: Backend, dtx: DTx, x) -> DTx:
+    """Absorb ext element(s) without writing to the proof stream."""
+    lo, hi = _ext_lanes(be, x)
+    return DTx(_absorb(dtx.sponge, lo, hi), dtx.log_lo, dtx.log_hi, dtx.log_len)
+
+
+def write_ext(be: Backend, dtx: DTx, x) -> DTx:
+    """Absorb ext element(s) AND append them to the proof-felt log."""
+    lo, hi = _ext_lanes(be, x)
+    sponge = _absorb(dtx.sponge, lo, hi)
+    n = lo.shape[0]
+    idx = dtx.log_len + jnp.arange(n, dtype=jnp.int32)
+    return DTx(
+        sponge,
+        dtx.log_lo.at[idx].set(lo),
+        dtx.log_hi.at[idx].set(hi),
+        dtx.log_len + n,
+    )
+
+
+def squeeze_base(be: Backend, dtx: DTx):
+    """finalize_reset + digest-to-field. Returns (base 0-d element, DTx)."""
+    dlo, dhi, sponge = kj.finalize_reset(dtx.sponge)
+    val = be.base.from_digest_lanes(dlo, dhi)
+    return val, DTx(sponge, dtx.log_lo, dtx.log_hi, dtx.log_len)
+
+
+def squeeze_challenge(be: Backend, dtx: DTx):
+    """Ext challenge = ext_degree base squeezes. Returns (ext 0-d, DTx)."""
+    coeffs = []
+    for _ in range(be.spec.ext_degree):
+        c, dtx = squeeze_base(be, dtx)
+        coeffs.append(c)
+    if be.ext_cls is be.base_cls:
+        return coeffs[0], dtx
+    return be.ext_cls(*coeffs), dtx
+
+
+def squeeze_challenges(be: Backend, dtx: DTx, n: int):
+    """n ext challenges -> stacked [n] ext device vector."""
+    outs = []
+    for _ in range(n):
+        c, dtx = squeeze_challenge(be, dtx)
+        outs.append(c)
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)
+    return stacked, dtx
+
+
+# ---------------------------------------------------------------------------
+# host-side finish: proof-felt log -> byte stream
+# ---------------------------------------------------------------------------
+
+
+def log_to_proof(be: Backend, log_lo, log_hi, log_len: int) -> bytes:
+    """Fetch the felt log (ONE transfer) and serialize the proof stream."""
+    lo = np.asarray(log_lo[:log_len], dtype=np.uint64)
+    hi = np.asarray(log_hi[:log_len], dtype=np.uint64)
+    lanes = (lo | (hi << np.uint64(32))).astype("<u8")
+    return lanes.tobytes()

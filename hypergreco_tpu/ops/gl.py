@@ -217,6 +217,18 @@ def inv(a: GL) -> GL:
     return pow_const(a, P - 2)
 
 
+def from_digest_lanes(dlo, dhi) -> GL:
+    """32-byte keccak digest (4 LE uint64 lanes as uint32 pairs) -> 0-d GL:
+    int.from_bytes(digest, 'little') % p (fe_mod_from_le_bytes parity,
+    transcript.rs:202). Used by the device transcript's squeeze."""
+    acc = None
+    for i in range(4):
+        li = GL(*_cond_sub_p(dlo[i], dhi[i]))
+        term = li if i == 0 else mul(li, scalar(pow(2, 64 * i, P)))
+        acc = term if acc is None else add(acc, term)
+    return acc
+
+
 # ---------------------------------------------------------------------------
 # host <-> device conversion
 # ---------------------------------------------------------------------------

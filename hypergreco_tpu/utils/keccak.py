@@ -99,40 +99,47 @@ def _keccakf(st):
 
 
 class _PyKeccak:
+    """Streaming xor-into-state sponge. The snapshot format (25 x u64 LE
+    lanes with partial-block data already xored in + 8-byte LE position) is
+    byte-identical to the native backend's KeccakState, so checkpoints are
+    portable across backends."""
+
     def __init__(self):
         self._st = [0] * 25
-        self._buf = bytearray()
+        self._pos = 0
 
     def snapshot(self) -> bytes:
         st = b"".join(x.to_bytes(8, "little") for x in self._st)
-        return st + bytes(self._buf)
+        return st + self._pos.to_bytes(8, "little")
 
     def restore(self, blob: bytes):
+        assert len(blob) == 208, "canonical keccak snapshot is 208 bytes"
         self._st = [
             int.from_bytes(blob[8 * i : 8 * i + 8], "little") for i in range(25)
         ]
-        self._buf = bytearray(blob[200:])
+        self._pos = int.from_bytes(blob[200:], "little")
 
     def update(self, data: bytes):
-        self._buf.extend(data)
-        while len(self._buf) >= _RATE:
-            block = self._buf[:_RATE]
-            del self._buf[:_RATE]
-            for i in range(0, _RATE, 8):
-                self._st[i // 8] ^= int.from_bytes(block[i : i + 8], "little")
-            _keccakf(self._st)
+        off = 0
+        n = len(data)
+        while off < n:
+            take = min(_RATE - self._pos, n - off)
+            for i in range(take):
+                j = self._pos + i
+                self._st[j // 8] ^= data[off + i] << (8 * (j % 8))
+            self._pos += take
+            off += take
+            if self._pos == _RATE:
+                _keccakf(self._st)
+                self._pos = 0
 
     def finalize_reset(self) -> bytes:
-        block = bytearray(self._buf)
-        block.append(0x01)
-        block.extend(b"\x00" * (_RATE - len(block)))
-        block[-1] ^= 0x80
-        for i in range(0, _RATE, 8):
-            self._st[i // 8] ^= int.from_bytes(block[i : i + 8], "little")
+        self._st[self._pos // 8] ^= 0x01 << (8 * (self._pos % 8))
+        self._st[16] ^= 0x80 << 56
         _keccakf(self._st)
         out = b"".join(self._st[i].to_bytes(8, "little") for i in range(4))
         self._st = [0] * 25
-        self._buf.clear()
+        self._pos = 0
         return out
 
 
