@@ -1,0 +1,141 @@
+"""Device-resident batched grand-product prover.
+
+The ENTIRE product-tree argument — tree build, root/W1 messages, every
+layer's batched sumcheck, all transcript absorbs/squeezes — runs in ONE
+compiled program (a fori_loop over layers with the fused traced-round-count
+sumcheck inside). Transcript messages are bit-identical to the host prover
+(gkr/grand_product.py), so verify_grand_product verifies unchanged.
+
+Reference parity: prove_grand_product (memory_checking/prover.rs:158-295,
+SURVEY.md §2.5), re-architected for TPU: zero host round trips instead of
+one challenge transfer per sumcheck round per layer.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.fe import Backend, get_backend
+from ..ops import mle
+from . import dsumcheck as dsc
+from . import dtranscript as dt
+from .grand_product import _gp_expr
+
+
+def gp_rounds(be: Backend, leaves, dtx):
+    """Traceable grand-product prover over m equal-length [2^v] leaf vectors
+    (base or ext). Returns (pbuf [v] ext point buffer, dtx)."""
+    m = len(leaves)
+    v = mle.num_vars(be, leaves[0])
+    buf = 1 << max(v - 1, 1)
+
+    def pad(T, size):
+        if size == buf:
+            return T
+        return jax.tree.map(
+            lambda a: jnp.concatenate(
+                [a, jnp.zeros((buf - size,), dtype=a.dtype)]
+            ),
+            T,
+        )
+
+    # ---- tree build (ext-lifted; levels pre-padded to the shared buffer) --
+    layers = []  # index j <-> layer l = v-1-j ; each [2m, buf] ext
+    cur = [be.lift(T) for T in leaves]
+    size = 1 << v
+    while size > 2:
+        half = size // 2
+        Ls = [jax.tree.map(lambda a: a[:half], T) for T in cur]
+        Rs = [jax.tree.map(lambda a: a[half:], T) for T in cur]
+        inter = []
+        for L, R in zip(Ls, Rs):
+            inter.append(pad(L, half))
+            inter.append(pad(R, half))
+        layers.append(jax.tree.map(lambda *rows: jnp.stack(rows), *inter))
+        cur = [be.mul(L, R) for L, R in zip(Ls, Rs)]
+        size = half
+    w1 = cur  # m vectors of length 2
+    roots = [be.mul(be.index(T, 0), be.index(T, 1)) for T in cur]
+
+    # ---- roots + alpha ----
+    dtx = dt.write_ext(be, dtx, dsc._stack_scalars(be, roots))
+    alpha, dtx = dt.squeeze_challenge(be, dtx)
+
+    # ---- layer 0: W1 values (L_i, R_i interleaved), squeeze mu ----
+    lr = []
+    for T in w1:
+        lr.append(be.index(T, 0))
+        lr.append(be.index(T, 1))
+    dtx = dt.write_ext(be, dtx, dsc._stack_scalars(be, lr))
+    mu, dtx = dt.squeeze_challenge(be, dtx)
+
+    pbuf = be.zeros((v,), ext=True)
+    pbuf = jax.tree.map(
+        lambda p, mv: p.at[0].set(mv), pbuf, mu
+    )
+    if v == 1:
+        return pbuf, dtx
+
+    # ---- layers l = 1..v-1: batched deg-3 sumchecks ----
+    LVL = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)  # [n_lvl, 2m, buf]
+    cdev = dsc.powers(be, alpha, m, trailing_one=True)
+    expr_key = _gp_expr(m).key()
+    bufv = max(v - 1, 1)
+    ones_row = be.ext.ones((1, buf))
+
+    def layer_body(l, carry):
+        dtx, pbuf = carry
+        jl = (v - 1) - l
+        tabs = jax.tree.map(lambda a: a[jl], LVL)  # [2m, buf]
+        eq = dsc.eq_table_dyn(be, pbuf, bufv, l)
+        stk = jax.tree.map(
+            lambda e, t, o: jnp.concatenate([e[None], t, o]),
+            eq, tabs, ones_row,
+        )
+        chal, fevals, dtx = dsc.rounds(
+            be, expr_key, m, bufv, stk, cdev, dtx, l, jnp.left_shift(1, l)
+        )
+        dtx = dt.write_ext(
+            be, dtx, jax.tree.map(lambda a: a[1:], fevals)
+        )
+        mu, dtx = dt.squeeze_challenge(be, dtx)
+        # pbuf[0:l] = chal[0:l]; pbuf[l] = mu
+        idx = jnp.arange(v, dtype=jnp.int32)
+        chal_pad = jax.tree.map(
+            lambda c: jnp.concatenate(
+                [c, jnp.zeros((v - bufv,) + c.shape[1:], dtype=c.dtype)]
+            ),
+            chal,
+        )
+        pbuf = jax.tree.map(
+            lambda p, c, mv: jnp.where(
+                idx < l, c, jnp.where(idx == l, mv, p)
+            ),
+            pbuf, chal_pad, mu,
+        )
+        return dtx, pbuf
+
+    dtx, pbuf = jax.lax.fori_loop(1, v, layer_body, (dtx, pbuf))
+    return pbuf, dtx
+
+
+@lru_cache(maxsize=None)
+def _gp_jit(be_name: str, m: int, logl: int, ext_in: bool, cap: int):
+    be = get_backend(be_name)
+
+    def run(leaves, dtx):
+        return gp_rounds(be, leaves, dtx)
+
+    return jax.jit(run)
+
+
+def prove_grand_product_device(be: Backend, leaves, dtx):
+    """Standalone dispatch wrapper. Returns (pbuf [v] ext device, dtx)."""
+    m = len(leaves)
+    v = mle.num_vars(be, leaves[0])
+    ext_in = be._mod(leaves[0]) is be.ext
+    cap = dtx.log_lo.shape[0]
+    return _gp_jit(be.spec.name, m, v, ext_in, cap)(leaves, dtx)

@@ -172,6 +172,60 @@ def _prove_jit(be_name: str, expr_key: tuple, num_coeffs: int, logn: int):
     return jax.jit(run)
 
 
+def eq_table_dyn(be: Backend, pbuf, bufv: int, plen):
+    """eq(pbuf[:plen], x) over a [2^bufv] buffer, traced plen (factors
+    j >= plen forced to one). pbuf: [>=bufv] ext point buffer. The traced
+    twin of grand_product._eq_dyn_jit."""
+    N = 1 << bufv
+    x = jnp.arange(N, dtype=jnp.uint32)
+    prod = None
+    for j in range(bufv):
+        rj = be.index(pbuf, j)
+        one_minus = be.sub(be.ext.ones(()), rj)
+        f = be.select(((x >> j) & 1) == 1, rj, one_minus)
+        f = be.select(jnp.asarray(j) < plen, f, be.ext.ones((N,)))
+        prod = f if prod is None else be.mul(prod, f)
+        if (j + 1) % 3 == 0:
+            prod = be.fusion_break(prod)
+    return prod
+
+
+def eq_rlc(be: Backend, pts, alphas, v: int, npts: int):
+    """sum_i alphas[i] * eq(pts[i], x) as a [2^v] ext table; pts: [npts, v]
+    ext device, alphas: [npts] ext device. Traced twin of
+    circuit._eq_rlc_jit."""
+    N = 1 << v
+    x = jnp.arange(N, dtype=jnp.uint32)
+    acc = None
+    for i in range(npts):
+        prod = None
+        for b in range(v):
+            rb = be.index(pts, (i, b))
+            bit = ((x >> b) & 1) == 1
+            one_minus = be.sub(be.ext.ones(()), rb)
+            f = be.select(bit, rb, one_minus)
+            prod = f if prod is None else be.mul(prod, f)
+            if (b + 1) % 3 == 0:
+                prod = be.fusion_break(prod)
+        term = be.mul(be.index(alphas, i), prod)
+        acc = be.fusion_break(term if acc is None else be.add(acc, term))
+    return acc
+
+
+def powers(be: Backend, x, n: int, trailing_one: bool = False):
+    """[x^0, .., x^(n-1)] (+ optional trailing 1) as a stacked ext vector,
+    from a 0-d ext device scalar."""
+    one = be.ext.ones(())
+    outs = [one]
+    cur = one
+    for _ in range(1, n):
+        cur = be.mul(cur, x)
+        outs.append(cur)
+    if trailing_one:
+        outs.append(one)
+    return _stack_scalars(be, outs)
+
+
 def coeffs_device(be: Backend, coeffs_host):
     """Static host coeffs (+ the implicit trailing one) -> ext device [k+1]."""
     spec = be.spec
