@@ -97,6 +97,14 @@ def relay_add_const(w, c: int) -> VanillaGate:
 # ---------------------------------------------------------------------------
 
 
+#: compiled programs shared across STRUCTURALLY IDENTICAL node instances
+#: (same wiring bytes / FFT shape): e.g. the K=16 sai_eval mul nodes and the
+#: K=16 ai_eval FFT nodes each compile once, not 16 times. Keyed by
+#: (spec, node-structure digest, program key); closures over identical
+#: wiring constants trace to identical jaxprs, so sharing is sound.
+_PROG_CACHE: dict = {}
+
+
 class Node:
     def is_input(self) -> bool:
         return False
@@ -210,6 +218,115 @@ class VanillaNode(Node):
     def log2_output_size(self) -> int:
         return self.Y.bit_length() - 1
 
+    @classmethod
+    def from_wiring(
+        cls,
+        num_input_polys: int,
+        log2_sub_input_size: int,
+        num_gates: int,
+        num_reps: int = 1,
+        *,
+        const=None,
+        lin=(),
+        quad=(),
+    ):
+        """Vectorized constructor: wiring given directly as flat numpy
+        arrays over the padded output index space Y = Gp * num_reps
+        (Gp = next power of two >= num_gates) — no per-gate Python objects
+        (the per-gate path is ~1M dataclass objects per node at the
+        32768_16x59 scale).
+
+        const: u64[Y] (already reduced mod p) or None.
+        lin:   iterable of (coef u64[Y], src i64[Y]) linear slots.
+        quad:  iterable of (coef u64[Y], a i64[Y], b i64[Y], pa, pb).
+        src/a/b are flat input indices poly*S + rep*2^log2_sub + idx;
+        coef 0 disables the slot for that gate (use src 0)."""
+        self = cls.__new__(cls)
+        G = 1 if num_gates == 0 else 1 << (num_gates - 1).bit_length()
+        assert num_reps & (num_reps - 1) == 0
+        self.P = num_input_polys
+        self.log2_sub = log2_sub_input_size
+        self.gates = None
+        self.R = num_reps
+        self.G = G
+        self.Y = G * num_reps
+        self.S = (1 << log2_sub_input_size) * num_reps
+        Y = self.Y
+
+        def _pad(a, fill=0):
+            """Arrays may cover just num_gates entries when num_reps == 1;
+            the pow-2 padding gates are constant-zero (coef/const 0)."""
+            if num_reps == 1 and a.shape == (num_gates,) and num_gates != Y:
+                return np.concatenate(
+                    [a, np.full(Y - num_gates, fill, dtype=a.dtype)]
+                )
+            return a
+
+        carr = (
+            np.zeros(Y, dtype=np.uint64)
+            if const is None
+            else _pad(np.asarray(const, dtype=np.uint64))
+        )
+        assert carr.shape == (Y,)
+        lin_list = []
+        for coef, src in lin:
+            coef = _pad(np.asarray(coef, dtype=np.uint64))
+            src = _pad(np.asarray(src, dtype=np.int64))
+            assert coef.shape == (Y,) and src.shape == (Y,)
+            assert src.min() >= 0 and src.max() < self.P * self.S
+            lin_list.append({"coef": coef, "src": src})
+        quad_list = []
+        for coef, a, b, pa, pb in quad:
+            coef = _pad(np.asarray(coef, dtype=np.uint64))
+            a = _pad(np.asarray(a, dtype=np.int64), fill=pa * self.S)
+            b = _pad(np.asarray(b, dtype=np.int64), fill=pb * self.S)
+            assert coef.shape == (Y,) and a.shape == (Y,) and b.shape == (Y,)
+            assert (a // self.S == pa).all() and (b // self.S == pb).all()
+            quad_list.append(
+                {"coef": coef, "a": a, "b": b, "pa": pa, "pb": pb}
+            )
+        self._wiring = (carr, lin_list, quad_list)
+        self._wiring_p = -1  # wiring is pre-reduced; p no longer needed
+        self._progs = {}
+        return self
+
+    # ----- shared program cache -----
+
+    def _digest(self, p) -> str:
+        """Structure digest for the shared program cache: shapes + wiring
+        bytes (wiring must be built, so callers pass p)."""
+        d = getattr(self, "_digest_val", None)
+        if d is None:
+            import hashlib
+
+            const, lin, quad = self._build_wiring(p)
+            h = hashlib.sha1()
+            h.update(
+                repr((self.P, self.log2_sub, self.R, self.G)).encode()
+            )
+            h.update(const.tobytes())
+            for sl in lin:
+                h.update(sl["coef"].tobytes())
+                h.update(sl["src"].tobytes())
+            for sq in quad:
+                h.update(repr((sq["pa"], sq["pb"])).encode())
+                h.update(sq["coef"].tobytes())
+                h.update(sq["a"].tobytes())
+                h.update(sq["b"].tobytes())
+            d = self._digest_val = h.hexdigest()
+        return d
+
+    def _get_prog(self, be, key, make):
+        if key in self._progs:
+            return self._progs[key]
+        gkey = (be.spec.name, self._digest(be.spec.p), key)
+        fn = _PROG_CACHE.get(gkey)
+        if fn is None:
+            fn = jax.jit(make())
+            _PROG_CACHE[gkey] = fn
+        self._progs[key] = fn
+        return fn
+
     # ----- static wiring arrays -----
 
     def _build_wiring(self, p=None):
@@ -282,9 +399,8 @@ class VanillaNode(Node):
 
     def evaluate(self, be: Backend, inputs: list):
         const, lin, quad = self._build_wiring(be.spec.p)
-        key = "eval"
-        if key not in self._progs:
 
+        def make():
             def run(flat):
                 out = self._const_vec(be, const)
                 for sl in lin:
@@ -306,9 +422,10 @@ class VanillaNode(Node):
                     )
                 return out
 
-            self._progs[key] = jax.jit(run)
+            return run
+
         flat = _concat_flat(be, inputs, self.P, self.S)
-        return self._progs[key](flat)
+        return self._get_prog(be, "eval", make)(flat)
 
     # ----- claim reduction -----
 
@@ -316,9 +433,8 @@ class VanillaNode(Node):
         """Prover scatters: A_flat [P*S] and H_q tables [S] per quad slot."""
         const, lin, quad = self._build_wiring(be.spec.p)
         P, S = self.P, self.S
-        key = "phase1"
-        if key not in self._progs:
 
+        def make():
             def run(Eq, flat):
                 A = None
                 for sl in lin:
@@ -343,15 +459,15 @@ class VanillaNode(Node):
                 cdot = be.sum_digest(be.mul(Eq, self._const_vec(be, const)))
                 return A, Hs, cdot
 
-            self._progs[key] = jax.jit(run)
-        return self._progs[key](Eq, flat)
+            return run
+
+        return self._get_prog(be, "phase1", make)(Eq, flat)
 
     def _w_tables(self, be, Eq, eq_u):
         const, lin, quad = self._build_wiring(be.spec.p)
         S = self.S
-        key = "w"
-        if key not in self._progs:
 
+        def make():
             def run(Eq, eq_u):
                 Ws = []
                 for sq in quad:
@@ -364,8 +480,9 @@ class VanillaNode(Node):
                     Ws.append(be.scatter_add_mod(jnp.asarray(gbt), vals, S))
                 return Ws
 
-            self._progs[key] = jax.jit(run)
-        return self._progs[key](Eq, eq_u)
+            return run
+
+        return self._get_prog(be, "w", make)(Eq, eq_u)
 
     def _split_A(self, be, A_flat):
         P, S = self.P, self.S
@@ -433,15 +550,138 @@ class VanillaNode(Node):
                 out_claims[pb].append((v2, ev))
         return out_claims
 
+    def prove_claim_reduction_device(self, be, claim_pts, inputs, dtx):
+        """Device-resident claim reduction: both phases, scatters, fused
+        sumchecks and all transcript traffic in ONE compiled program —
+        transcript bytes identical to prove_claim_reduction.
+
+        claim_pts: list of [v_out] ext device point buffers. Returns
+        (out_claims: per-input list of point buffers, dtx)."""
+        from . import dsumcheck as dsc
+        from . import dtranscript as dt
+
+        const, lin, quad = self._build_wiring(be.spec.p)
+        npts = len(claim_pts)
+        flat = _concat_flat(be, inputs, self.P, self.S)
+
+        def make():
+            P, S = self.P, self.S
+            vout = self.log2_output_size()
+            sv = S.bit_length() - 1
+            expr = self._phase1_expr()
+            pbs = sorted({sq["pb"] for sq in quad})
+            pb_pos = {pb: len(quad) + i for i, pb in enumerate(pbs)}
+
+            def run(pts, flat, inputs, dtx):
+                if npts > 1:
+                    alpha, dtx = dt.squeeze_challenge(be, dtx)
+                    alphas = dsc.powers(be, alpha, npts)
+                else:
+                    alphas = be.ext.ones((1,))
+                Eq = dsc.eq_rlc(be, pts, alphas, vout, npts)
+                A = None
+                for sl in lin:
+                    vals = be.mul(Eq, self._const_vec(be, sl["coef"]))
+                    part = be.scatter_add_mod(
+                        jnp.asarray(sl["src"].astype(np.int32)), vals, P * S
+                    )
+                    A = part if A is None else be.add(A, part)
+                if A is None:
+                    A = be.zeros((P * S,), ext=True)
+                Hs = []
+                for sq in quad:
+                    gb = jax.tree.map(
+                        lambda a: a[sq["b"].astype(np.int32)], flat
+                    )
+                    vals = be.mul(
+                        be.mul(Eq, self._const_vec(be, sq["coef"])), gb
+                    )
+                    tgt = (sq["a"] - sq["pa"] * S).astype(np.int32)
+                    Hs.append(be.scatter_add_mod(jnp.asarray(tgt), vals, S))
+                tables = []
+                for p in range(P):
+                    tables.append(
+                        jax.tree.map(lambda a, p=p: a[p * S : (p + 1) * S], A)
+                    )
+                    tables.append(be.lift(inputs[p]))
+                tables.extend(Hs)
+                stk = jax.tree.map(
+                    lambda *rows: jnp.stack(rows),
+                    *(tables + [be.ext.ones((S,))]),
+                )
+                cdev = dsc.coeffs_device(be, [])
+                u, fevals, dtx = dsc.rounds(
+                    be, expr.key(), 0, sv, stk, cdev, dtx,
+                    jnp.int32(sv), jnp.int32(S),
+                )
+                lay = np.asarray(
+                    [2 * p + 1 for p in range(P)]
+                    + [2 * P + qi for qi in range(len(quad))],
+                    dtype=np.int32,
+                )
+                dtx = dt.write_ext(
+                    be, dtx, jax.tree.map(lambda a: a[lay], fevals)
+                )
+                if not quad:
+                    return u, u, dtx
+                beta, dtx = dt.squeeze_challenge(be, dtx)
+                betas = dsc.powers(be, beta, len(quad))
+                eq_u = dsc.eq_rlc(
+                    be,
+                    jax.tree.map(lambda a: a[None], u),
+                    be.ext.ones((1,)),
+                    sv,
+                    1,
+                )
+                tables2 = []
+                for qi, sq in enumerate(quad):
+                    ga = (sq["a"] - sq["pa"] * S).astype(np.int32)
+                    gbt = (sq["b"] - sq["pb"] * S).astype(np.int32)
+                    vals = be.mul(
+                        be.mul(Eq, self._const_vec(be, sq["coef"])),
+                        jax.tree.map(lambda a: a[ga], eq_u),
+                    )
+                    W = be.scatter_add_mod(jnp.asarray(gbt), vals, S)
+                    tables2.append(be.mul(W, be.index(betas, qi)))
+                tables2 += [be.lift(inputs[pb]) for pb in pbs]
+                terms2 = [
+                    Term(None, (qi, pb_pos[sq["pb"]]))
+                    for qi, sq in enumerate(quad)
+                ]
+                expr2 = SumcheckExpr(terms2, len(quad) + len(pbs))
+                stk2 = jax.tree.map(
+                    lambda *rows: jnp.stack(rows),
+                    *(tables2 + [be.ext.ones((S,))]),
+                )
+                v2, fevals2, dtx = dsc.rounds(
+                    be, expr2.key(), 0, sv, stk2, cdev, dtx,
+                    jnp.int32(sv), jnp.int32(S),
+                )
+                lay2 = np.asarray([pb_pos[pb] for pb in pbs], dtype=np.int32)
+                dtx = dt.write_ext(
+                    be, dtx, jax.tree.map(lambda a: a[lay2], fevals2)
+                )
+                return u, v2, dtx
+
+            return run
+
+        fn = self._get_prog(be, ("dprove", npts), make)
+        pts = jax.tree.map(lambda *xs: jnp.stack(xs), *claim_pts)
+        u, v2, dtx = fn(pts, flat, inputs, dtx)
+        out_claims = [[u] for _ in range(self.P)]
+        if quad:
+            for pb in sorted({sq["pb"] for sq in quad}):
+                out_claims[pb].append(v2)
+        return out_claims, dtx
+
     def verify_claim_reduction(self, be, claims, transcript):
         spec = be.spec
         const, lin, quad = self._build_wiring(be.spec.p)
         points, alphas, combined = _combine_claims(be, claims, transcript)
         Eq = eq_rlc_table(be, points, alphas)
-        # device-assisted public recompute of A and <Eq, const>
-        key = "verify_pub"
-        if key not in self._progs:
 
+        # device-assisted public recompute of A and <Eq, const>
+        def make():
             def run(Eq):
                 A = None
                 for sl in lin:
@@ -457,8 +697,9 @@ class VanillaNode(Node):
                 cdot = be.sum_digest(be.mul(Eq, self._const_vec(be, const)))
                 return A, cdot
 
-            self._progs[key] = jax.jit(run)
-        A_flat, cdot = self._progs[key](Eq)
+            return run
+
+        A_flat, cdot = self._get_prog(be, "verify_pub", make)(Eq)
         cterm = spec._c(be.digest_value(cdot))
         claim1 = spec.esub(combined, cterm)
 
@@ -558,6 +799,49 @@ class FftNode(Node):
         transcript.write_felt_ext(fevals[1])
         return [[(u, fevals[1])]]
 
+    def prove_claim_reduction_device(self, be, claim_pts, inputs, dtx):
+        from . import dsumcheck as dsc
+        from . import dtranscript as dt
+
+        npts = len(claim_pts)
+        gkey = (
+            be.spec.name, "fft", self.log2_size, self.inverse,
+            ("dprove", npts),
+        )
+        fn = _PROG_CACHE.get(gkey)
+        if fn is None:
+            logl = self.log2_size
+            inverse = self.inverse
+            wtab = ntt._wpow_table(be.spec.name, 1 << logl, inverse)
+            expr = SumcheckExpr([Term(None, (0, 1))], 2)
+
+            def run(pts, x, dtx):
+                if npts > 1:
+                    alpha, dtx = dt.squeeze_challenge(be, dtx)
+                    alphas = dsc.powers(be, alpha, npts)
+                else:
+                    alphas = be.ext.ones((1,))
+                d = ntt.dft_row_mle_body(
+                    be, pts, alphas, wtab, logl, inverse, npts
+                )
+                stk = jax.tree.map(
+                    lambda *rows: jnp.stack(rows),
+                    d, be.lift(x), be.ext.ones((1 << logl,)),
+                )
+                cdev = dsc.coeffs_device(be, [])
+                u, fevals, dtx = dsc.rounds(
+                    be, expr.key(), 0, logl, stk, cdev, dtx,
+                    jnp.int32(logl), jnp.int32(1 << logl),
+                )
+                in_eval = jax.tree.map(lambda a: a[1], fevals)
+                dtx = dt.write_ext(be, dtx, in_eval)
+                return u, dtx
+
+            fn = _PROG_CACHE[gkey] = jax.jit(run)
+        pts = jax.tree.map(lambda *xs: jnp.stack(xs), *claim_pts)
+        u, dtx = fn(pts, inputs[0], dtx)
+        return [[u]], dtx
+
     def verify_claim_reduction(self, be, claims, transcript):
         spec = be.spec
         points, alphas, combined = _combine_claims(be, claims, transcript)
@@ -588,6 +872,10 @@ class LassoCircuitNode(Node):
 
     def prove_claim_reduction(self, be, claims, inputs, transcript):
         return [self.inner.prove_claim_reduction(inputs[0], transcript)]
+
+    def prove_claim_reduction_device(self, be, claim_pts, inputs, dtx):
+        r, dtx = self.inner.prove_claim_reduction_device(inputs[0], dtx)
+        return [[r]], dtx
 
     def verify_claim_reduction(self, be, claims, transcript):
         return [self.inner.verify_claim_reduction(transcript)]
@@ -724,6 +1012,38 @@ def prove_gkr(
                 }
             )
     return [claims[i] for i in circuit.input_ids()]
+
+
+def prove_gkr_device(circuit: Circuit, values: list, output_claim_pts: list,
+                     dtx):
+    """Device-resident GKR prover (the round-2 fast path): same reduction
+    walk as prove_gkr but claims are device point buffers and ALL transcript
+    traffic stays on device — the host only enqueues per-node programs
+    (async) and never reads a device value. Transcript bytes are identical
+    to prove_gkr, so verify_gkr verifies the resulting proof unchanged.
+
+    output_claim_pts: per output node, a list of [v] ext device point
+    buffers (None for an empty-point claim, e.g. the LassoNode's).
+    Returns (per-input-node claim point buffers, dtx)."""
+    be = circuit.be
+    claims = [[] for _ in circuit.nodes]
+    outs = circuit.output_ids()
+    assert len(output_claim_pts) == len(outs)
+    for nid, cl in zip(outs, output_claim_pts):
+        claims[nid] = list(cl)
+    for nid in reversed(circuit.topo_order()):
+        node = circuit.nodes[nid]
+        if node.is_input() or not claims[nid]:
+            continue
+        ins = circuit.node_inputs[nid]
+        with span(f"{type(node).__name__}[{nid}]::dprove"):
+            child, dtx = node.prove_claim_reduction_device(
+                be, claims[nid], [values[j] for j in ins], dtx
+            )
+        assert len(child) == len(ins)
+        for cid, cls_ in zip(ins, child):
+            claims[cid].extend(cls_)
+    return [claims[i] for i in circuit.input_ids()], dtx
 
 
 def verify_gkr(circuit: Circuit, output_claims: list, transcript):

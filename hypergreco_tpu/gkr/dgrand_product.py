@@ -25,9 +25,15 @@ from . import dtranscript as dt
 from .grand_product import _gp_expr
 
 
-def gp_rounds(be: Backend, leaves, dtx):
-    """Traceable grand-product prover over m equal-length [2^v] leaf vectors
-    (base or ext). Returns (pbuf [v] ext point buffer, dtx)."""
+def gp_tree_build(be: Backend, leaves):
+    """Traceable product-tree build over m equal-length [2^v] leaf vectors
+    (base or ext). Returns (LVL [n_lvl, 2m, buf] stacked ext layer buffers
+    — index j <-> layer l = v-1-j, L/R interleaved per instance and
+    pre-padded to the shared buf = 2^(v-1) — plus w1: m [2] ext vectors).
+
+    Kept SEPARATE from the layer-sumcheck loop: fusing the v-level unrolled
+    build (a stack of v big fused mul chains) into the same program as the
+    loop explodes XLA compile time (verify-skill hazard 8)."""
     m = len(leaves)
     v = mle.num_vars(be, leaves[0])
     buf = 1 << max(v - 1, 1)
@@ -42,8 +48,7 @@ def gp_rounds(be: Backend, leaves, dtx):
             T,
         )
 
-    # ---- tree build (ext-lifted; levels pre-padded to the shared buffer) --
-    layers = []  # index j <-> layer l = v-1-j ; each [2m, buf] ext
+    layers = []
     cur = [be.lift(T) for T in leaves]
     size = 1 << v
     while size > 2:
@@ -55,10 +60,22 @@ def gp_rounds(be: Backend, leaves, dtx):
             inter.append(pad(L, half))
             inter.append(pad(R, half))
         layers.append(jax.tree.map(lambda *rows: jnp.stack(rows), *inter))
-        cur = [be.mul(L, R) for L, R in zip(Ls, Rs)]
+        cur = [be.mul(be.fusion_break(L), be.fusion_break(R))
+               for L, R in zip(Ls, Rs)]
         size = half
-    w1 = cur  # m vectors of length 2
-    roots = [be.mul(be.index(T, 0), be.index(T, 1)) for T in cur]
+    if layers:
+        LVL = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+    else:
+        LVL = None
+    return LVL, cur
+
+
+def gp_layer_rounds(be: Backend, LVL, w1, v: int, dtx):
+    """Traceable grand-product transcript phase: roots/W1 messages plus the
+    per-layer batched sumcheck loop over the pre-built LVL buffers.
+    Returns (pbuf [v] ext point buffer, dtx)."""
+    m = len(w1)
+    roots = [be.mul(be.index(T, 0), be.index(T, 1)) for T in w1]
 
     # ---- roots + alpha ----
     dtx = dt.write_ext(be, dtx, dsc._stack_scalars(be, roots))
@@ -80,7 +97,7 @@ def gp_rounds(be: Backend, leaves, dtx):
         return pbuf, dtx
 
     # ---- layers l = 1..v-1: batched deg-3 sumchecks ----
-    LVL = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)  # [n_lvl, 2m, buf]
+    buf = 1 << max(v - 1, 1)
     cdev = dsc.powers(be, alpha, m, trailing_one=True)
     expr_key = _gp_expr(m).key()
     bufv = max(v - 1, 1)
@@ -122,20 +139,37 @@ def gp_rounds(be: Backend, leaves, dtx):
     return pbuf, dtx
 
 
+def gp_rounds(be: Backend, leaves, dtx):
+    """Traceable one-piece grand-product prover (build + loop). Only for
+    SMALL trees (tests, few levels): at real sizes trace the two halves as
+    separate programs (gp_tree_build / gp_layer_rounds) via
+    prove_grand_product_device."""
+    v = mle.num_vars(be, leaves[0])
+    LVL, w1 = gp_tree_build(be, leaves)
+    return gp_layer_rounds(be, LVL, w1, v, dtx)
+
+
 @lru_cache(maxsize=None)
-def _gp_jit(be_name: str, m: int, logl: int, ext_in: bool, cap: int):
+def _gp_build_jit(be_name: str, m: int, logl: int, ext_in: bool):
     be = get_backend(be_name)
+    return jax.jit(lambda leaves: gp_tree_build(be, leaves))
 
-    def run(leaves, dtx):
-        return gp_rounds(be, leaves, dtx)
 
-    return jax.jit(run)
+@lru_cache(maxsize=None)
+def _gp_loop_jit(be_name: str, m: int, logl: int, cap: int):
+    be = get_backend(be_name)
+    return jax.jit(
+        lambda LVL, w1, dtx: gp_layer_rounds(be, LVL, w1, logl, dtx)
+    )
 
 
 def prove_grand_product_device(be: Backend, leaves, dtx):
-    """Standalone dispatch wrapper. Returns (pbuf [v] ext device, dtx)."""
+    """Two-program dispatch wrapper (tree build, then transcript loop) —
+    still zero host round trips: the device transcript flows between the
+    enqueued programs. Returns (pbuf [v] ext device, dtx)."""
     m = len(leaves)
     v = mle.num_vars(be, leaves[0])
     ext_in = be._mod(leaves[0]) is be.ext
     cap = dtx.log_lo.shape[0]
-    return _gp_jit(be.spec.name, m, v, ext_in, cap)(leaves, dtx)
+    LVL, w1 = _gp_build_jit(be.spec.name, m, v, ext_in)(leaves)
+    return _gp_loop_jit(be.spec.name, m, v, cap)(LVL, w1, dtx)

@@ -89,8 +89,12 @@ def _ext_lanes(be: Backend, x) -> tuple:
 
 
 def _absorb(sponge, lo, hi):
-    """Absorb n (static) lanes, chunked to the <=17-lane primitive."""
+    """Absorb n (static) lanes: unrolled for short messages (the per-round
+    common case — scan carry plumbing costs more than it saves), lax.scan
+    chunking for long ones (compile-time explosion otherwise)."""
     n = lo.shape[0]
+    if n > 4 * kj.RATE_LANES:
+        return kj.absorb_lanes_stream(sponge, lo, hi)
     for s in range(0, n, kj.RATE_LANES):
         e = min(s + kj.RATE_LANES, n)
         sponge = kj.absorb_lanes(sponge, lo[s:e], hi[s:e])
@@ -152,6 +156,12 @@ def squeeze_challenges(be: Backend, dtx: DTx, n: int):
 
 def log_to_proof(be: Backend, log_lo, log_hi, log_len: int) -> bytes:
     """Fetch the felt log (ONE transfer) and serialize the proof stream."""
+    if log_len > log_lo.shape[0]:
+        raise ValueError(
+            f"device proof log overflow: {log_len} lanes written into a "
+            f"{log_lo.shape[0]}-lane buffer (XLA clamps out-of-bounds "
+            "scatters, so the log is corrupt) — raise the dtx capacity"
+        )
     lo = np.asarray(log_lo[:log_len], dtype=np.uint64)
     hi = np.asarray(log_hi[:log_len], dtype=np.uint64)
     lanes = (lo | (hi << np.uint64(32))).astype("<u8")

@@ -80,8 +80,11 @@ def _hash_terms(spec, gamma, tau):
 
 
 @lru_cache(maxsize=None)
-def _leaves_jit(be_name: str, num_memories: int, logl: int, logm: int):
-    """Build all 4*num_memories fingerprint leaf vectors in one dispatch."""
+def _leaves_jit(be_name: str, num_memories: int, logl: int, logm: int,
+                ext_scalars: bool = False):
+    """Build all 4*num_memories fingerprint leaf vectors in one dispatch.
+    ext_scalars: gamma/tau are extension-field (secure mode) — leaves come
+    out ext-typed via the backend's promotion."""
     be = get_backend(be_name)
 
     def run(dims, es, tss, finals, subtables, sels, gamma, gamma2, tau, one):
@@ -130,11 +133,15 @@ def prove_memory_checking(
     logl = mle.num_vars(be, witnesses[0].e)
     logm = mle.num_vars(be, witnesses[0].final_cts)
 
-    fn = _leaves_jit(spec.name, M, logl, logm)
-    gdev = be.scalar(g)
-    g2dev = be.scalar(g2)
-    tdev = be.scalar(t)
-    onedev = be.scalar(1)
+    # secure mode keeps gamma/tau (and hence the leaves) in the extension
+    # field; the default path preserves the reference's base-field quirk
+    # (ADVICE r1: the old secure path silently dropped the ext coefficient)
+    fn = _leaves_jit(spec.name, M, logl, logm, ext_scalars=secure_gamma_tau)
+    gdev = be.scalar(g, ext=secure_gamma_tau)
+    g2dev = be.scalar(g2, ext=secure_gamma_tau)
+    tdev = be.scalar(t, ext=secure_gamma_tau)
+    onedev = be.scalar(spec.ext(1) if secure_gamma_tau else 1,
+                       ext=secure_gamma_tau)
     reads, writes, inits, finals = fn(
         [w.dim for w in witnesses],
         [w.e for w in witnesses],

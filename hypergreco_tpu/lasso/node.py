@@ -268,6 +268,79 @@ class LassoNode:
         )
         return [(r, claimed_sum)]
 
+    # ------------------------------------------------------------------
+    # device-resident prove (round-2 fast path): polynomialize dispatches
+    # plus ONE fused program for collation + memory checking — transcript
+    # bytes identical to prove_claim_reduction
+    # ------------------------------------------------------------------
+
+    def prove_claim_reduction_device(self, inputs, dtx):
+        """inputs: base [2^num_vars] device vector. Returns (r point buffer
+        [num_vars] ext device, dtx).
+
+        Pipeline of enqueued programs (collation | MC tree builds | MC
+        transcript loops) — one fused program explodes XLA compile time
+        (verify-skill hazard 8/10); the device transcript flows between
+        programs so there are still zero host round trips."""
+        from ..gkr import dsumcheck as dsc
+        from ..gkr import dtranscript as dt
+        from . import dmemory_checking as dmc
+
+        be = self.be
+        with span("LassoNode::polynomialize"):
+            witnesses, dims_gl = self.polynomialize(inputs)
+        wdicts = [dmc.witness_dict(w) for w in witnesses]
+
+        key = "dprove"
+        if key not in getattr(self, "_progs", {}):
+            if not hasattr(self, "_progs"):
+                self._progs = {}
+            nv = self.num_vars
+            expr = self._collation_expr()
+            weights = self.weights
+
+            def collation(inputs, wds, dtx):
+                import jax.numpy as jnp
+
+                r, dtx = dt.squeeze_challenges(be, dtx, nv)
+                eq_r = dsc.eq_table_dyn(be, r, nv, jnp.int32(nv))
+                claimed_sum = dsc.digest_scalar(be, be.mul(eq_r, inputs))
+                dtx = dt.write_ext(be, dtx, claimed_sum)
+
+                tables = [eq_r]
+                for w in wds:
+                    tables.extend(
+                        [be.lift(w["sel_dense"]), be.lift(w["e"])]
+                    )
+                stk = jax.tree.map(
+                    lambda *rows: jnp.stack(rows),
+                    *(tables + [be.ext.ones((1 << nv,))]),
+                )
+                cdev = dsc.coeffs_device(be, weights)
+                x, fevals, dtx = dsc.rounds(
+                    be, expr.key(), len(weights), nv, stk, cdev, dtx,
+                    jnp.int32(nv), jnp.int32(1 << nv),
+                )
+                lay = np.asarray(
+                    [2 + 2 * m for m in range(len(wds))], dtype=np.int32
+                )
+                dtx = dt.write_ext(
+                    be, dtx, jax.tree.map(lambda a: a[lay], fevals)
+                )
+                gamma, dtx = dt.squeeze_challenge(be, dtx)
+                tau, dtx = dt.squeeze_challenge(be, dtx)
+                return r, gamma, tau, dtx
+
+            self._progs[key] = jax.jit(collation)
+        with span("LassoNode::collation (device)"):
+            r, gamma, tau, dtx = self._progs[key](inputs, wdicts, dtx)
+        with span("LassoNode::memory_checking (device)"):
+            dtx = dmc.mc_prove_device(
+                be, wdicts, list(self.pp.memory_to_dimension_index),
+                dims_gl, gamma, tau, dtx,
+            )
+        return r, dtx
+
     def verify_claim_reduction(self, transcript):
         spec = self.be.spec
         pp = self.pp

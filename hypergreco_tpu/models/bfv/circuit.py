@@ -17,6 +17,8 @@ from __future__ import annotations
 import json
 from typing import List
 
+import jax
+
 from ...gkr.circuit import (
     Circuit,
     FftNode,
@@ -94,6 +96,185 @@ class BfvEncrypt:
     # ------------------------------------------------------------------
 
     def configure(self, circuit: Circuit, preprocessing: LassoPreprocessing):
+        """Vectorized graph construction (numpy index arithmetic, no
+        per-gate Python objects — ~1M gates/node at 32768_16x59). Wiring
+        is elementwise-identical to configure_per_gate (tested)."""
+        import numpy as np
+
+        pr = self.params
+        K = self.K
+        log2_size = self.log2_size
+        poly_log2_size = self.poly_log2_size
+        n_sub = 1 << log2_size
+        p = self.be.spec.p
+
+        yk = np.arange(K * n_sub, dtype=np.int64)
+        ones_k = np.ones(K * n_sub, dtype=np.uint64)
+        ysub = np.arange(n_sub, dtype=np.int64)
+        ones_sub = np.ones(n_sub, dtype=np.uint64)
+
+        s = circuit.insert(InputNode(log2_size))
+        e = circuit.insert(InputNode(log2_size))
+        k1 = circuit.insert(InputNode(log2_size))
+
+        es = circuit.insert(
+            VanillaNode.from_wiring(
+                1, log2_size, K * n_sub, lin=[(ones_k, yk % n_sub)]
+            )
+        )
+        k0is = np.asarray(
+            [int(c) % p for c in pr.K0IS[:K]], dtype=np.uint64
+        )
+        k1kis = circuit.insert(
+            VanillaNode.from_wiring(
+                1, log2_size, K * n_sub,
+                lin=[(k0is[yk // n_sub], yk % n_sub)],
+            )
+        )
+        circuit.connect(e, es)
+        circuit.connect(k1, k1kis)
+
+        ais = [circuit.insert(InputNode(log2_size)) for _ in range(K)]
+        r1is = [circuit.insert(InputNode(log2_size)) for _ in range(K)]
+
+        qis = np.asarray([int(q) % p for q in pr.QIS[:K]], dtype=np.uint64)
+        r1iqis = circuit.insert(
+            VanillaNode.from_wiring(
+                K, log2_size, K * n_sub, lin=[(qis[yk // n_sub], yk)]
+            )
+        )
+        for r1i in r1is:
+            circuit.connect(r1i, r1iqis)
+
+        r2is = circuit.insert(InputNode(poly_log2_size, K))
+
+        r2is_log2_size = poly_log2_size + (K.bit_length() - 1)
+        r2is_chunks = []
+        total = 1 << r2is_log2_size
+        for lo in range(0, total, n_sub):
+            cl = min(n_sub, total - lo)
+            active = ysub < cl
+            node = circuit.insert(
+                VanillaNode.from_wiring(
+                    1, r2is_log2_size, n_sub,
+                    lin=[(
+                        active.astype(np.uint64),
+                        np.where(active, lo + ysub, 0),
+                    )],
+                )
+            )
+            circuit.connect(r2is, node)
+            r2is_chunks.append(node)
+
+        nch = len(r2is_chunks)
+        P_lasso = nch + K + 3
+        bounds = (
+            list(pr.R1_BOUNDS[:K])
+            + [pr.R2_BOUNDS[0]] * nch
+            + [pr.S_BOUND, pr.E_BOUND, pr.K1_BOUND]
+        )
+        barr = np.asarray([int(b) % p for b in bounds], dtype=np.uint64)
+        yl = np.arange(P_lasso * n_sub, dtype=np.int64)
+        lasso_inputs_batched = circuit.insert(
+            VanillaNode.from_wiring(
+                P_lasso, log2_size, P_lasso * n_sub,
+                const=barr[yl // n_sub],
+                lin=[(np.ones(P_lasso * n_sub, dtype=np.uint64), yl)],
+            )
+        )
+        r2i_sub_log2 = log2_size if K == 1 else poly_log2_size
+        lookups = []
+        for b in pr.R1_BOUNDS[:K]:
+            lookups += [RangeLookup.id_for(b * 2 + 1)] * n_sub
+        for b in pr.R2_BOUNDS[:K]:
+            lookups += [RangeLookup.id_for(b * 2 + 1)] * (1 << r2i_sub_log2)
+        lookups += [RangeLookup.id_for(pr.S_BOUND * 2 + 1)] * n_sub
+        lookups += [RangeLookup.id_for(pr.E_BOUND * 2 + 1)] * n_sub
+        lookups += [RangeLookup.id_for(pr.K1_BOUND * 2 + 1)] * n_sub
+        lasso_num_vars = (len(lookups) - 1).bit_length()
+        lasso_ranges = circuit.insert(
+            LassoCircuitNode(
+                LassoNode(self.be, preprocessing, lasso_num_vars, lookups)
+            )
+        )
+        for r1i in r1is:
+            circuit.connect(r1i, lasso_inputs_batched)
+        for ch in r2is_chunks:
+            circuit.connect(ch, lasso_inputs_batched)
+        circuit.connect(s, lasso_inputs_batched)
+        circuit.connect(e, lasso_inputs_batched)
+        circuit.connect(k1, lasso_inputs_batched)
+        circuit.connect(lasso_inputs_batched, lasso_ranges)
+
+        s_eval = circuit.insert(FftNode.forward(log2_size))
+        circuit.connect(s, s_eval)
+        s_eval_copy = circuit.insert(
+            VanillaNode.from_wiring(
+                1, log2_size, n_sub, lin=[(ones_sub, ysub)]
+            )
+        )
+        circuit.connect(s_eval, s_eval_copy)
+
+        sai_par = circuit.insert(
+            VanillaNode.from_wiring(
+                K, log2_size, K * n_sub, lin=[(ones_k, yk)]
+            )
+        )
+        for ai in ais:
+            ai_eval = circuit.insert(FftNode.forward(log2_size))
+            sai_eval = circuit.insert(
+                VanillaNode.from_wiring(
+                    2, log2_size, n_sub,
+                    quad=[(ones_sub, ysub, n_sub + ysub, 0, 1)],
+                )
+            )
+            sai = circuit.insert(FftNode.inverse_node(log2_size))
+            circuit.connect(ai, ai_eval)
+            circuit.connect(s_eval_copy, sai_eval)
+            circuit.connect(ai_eval, sai_eval)
+            circuit.connect(sai_eval, sai)
+            circuit.connect(sai, sai_par)
+
+        r2i_size = (1 << poly_log2_size) - 1
+        Ssub = 1 << poly_log2_size
+        G_cyc = n_sub
+        g = np.arange(G_cyc, dtype=np.int64)
+        is_relay = (g != r2i_size) & (g != 2 * r2i_size + 1)
+        idx = np.where(g < r2i_size, g, g - (r2i_size + 1))
+        rep = np.arange(K, dtype=np.int64)[:, None]
+        cyc_src = np.where(
+            is_relay[None, :], rep * Ssub + idx[None, :], 0
+        ).reshape(-1)
+        cyc_coef = np.tile(is_relay.astype(np.uint64), K)
+        r2i_cyclo = circuit.insert(
+            VanillaNode.from_wiring(
+                1, poly_log2_size, G_cyc, K, lin=[(cyc_coef, cyc_src)]
+            )
+        )
+        circuit.connect(r2is, r2i_cyclo)
+
+        S_sum = n_sub * K
+        ys = np.arange(S_sum, dtype=np.int64)
+        ones_s = np.ones(S_sum, dtype=np.uint64)
+        sum_node = circuit.insert(
+            VanillaNode.from_wiring(
+                5, log2_size, n_sub, K,
+                lin=[(ones_s, pi * S_sum + ys) for pi in range(5)],
+            )
+        )
+        circuit.connect(sai_par, sum_node)
+        circuit.connect(es, sum_node)
+        circuit.connect(k1kis, sum_node)
+        circuit.connect(r1iqis, sum_node)
+        circuit.connect(r2i_cyclo, sum_node)
+        return sum_node
+
+    def configure_per_gate(
+        self, circuit: Circuit, preprocessing: LassoPreprocessing
+    ):
+        """Readable per-gate reference builder (the spec for configure's
+        vectorized wiring; also the parity-test oracle). Do not use at
+        scale — it creates one Python object per gate."""
         pr = self.params
         K = self.K
         log2_size = self.log2_size
@@ -312,7 +493,17 @@ class BfvEncrypt:
     # prove / verify (sk_encryption_circuit.rs:417-517)
     # ------------------------------------------------------------------
 
-    def prove(self, args: dict, pk: LassoPreprocessing) -> bytes:
+    def prove(
+        self, args: dict, pk: LassoPreprocessing, device: bool = True
+    ) -> bytes:
+        """device=True (default): the device-resident prover — every
+        sumcheck round, transcript absorb and challenge squeeze runs on
+        device; the host enqueues per-node programs asynchronously and
+        reads back only the final proof-felt log (ONE transfer).
+        device=False: the host-transcript prover (supports
+        checkpoint/resume). Both produce identical proof bytes."""
+        if device:
+            return self._prove_device(args, pk)
         be = self.be
         spec = be.spec
         transcript = TranscriptWriter(spec)
@@ -327,6 +518,11 @@ class BfvEncrypt:
             with span("eval circuit"):
                 values = sync(circuit.evaluate(inputs))
             with span("eval output"):
+                # bind the public statement before squeezing the output
+                # point (deviation from sk_encryption_circuit.rs:443-447,
+                # where r is squeezed from an empty transcript — see
+                # PROTOCOL.md "statement binding")
+                transcript.common_felts(ct0is_dense)
                 point = transcript.squeeze_challenges(self.ct0is_log2_size())
                 ct0is_value = mle.evaluate(be, be.from_ints(ct0is_dense), point)
                 output_claims = [([], spec.zero), (point, ct0is_value)]
@@ -334,6 +530,46 @@ class BfvEncrypt:
         with span("GKR prove"):
             prove_gkr(circuit, values, output_claims, transcript)
         return transcript.into_proof()
+
+    def _prove_device(self, args: dict, pk: LassoPreprocessing) -> bytes:
+        from ...gkr import dtranscript as dt
+        from ...gkr.circuit import prove_gkr_device
+
+        be = self.be
+
+        with span("init circuit"):
+            circuit = self._circuit(pk)
+
+        with span("witness gen"):
+            with span("parse inputs"):
+                inputs_dense, ct0is_dense = self.get_inputs(args)
+                inputs = [be.from_ints(x) for x in inputs_dense]
+            with span("eval circuit"):
+                values = circuit.evaluate(inputs)
+
+        with span("GKR prove (device)"):
+            # proof-felt capacity: GL 1024_1x27 is ~23k lanes; scale with
+            # the output size and leave generous headroom (overflow is
+            # detected in log_to_proof)
+            cap = max(1 << 16, 64 << self.ct0is_log2_size())
+            if not hasattr(self, "_dpoint_jit"):
+                v = self.ct0is_log2_size()
+
+                def _bind_and_squeeze(ct0is_dev, dtx):
+                    dtx = dt.common_ext(be, dtx, ct0is_dev)
+                    return dt.squeeze_challenges(be, dtx, v)
+
+                self._dpoint_jit = jax.jit(_bind_and_squeeze)
+            dtx = dt.new_dtx(cap)
+            point, dtx = self._dpoint_jit(be.from_ints(ct0is_dense), dtx)
+            # output order = insertion order: [lasso_ranges (empty point,
+            # ignored by the node), sum_node (point)]
+            out_pts = [[None], [point]]
+            _, dtx = prove_gkr_device(circuit, values, out_pts, dtx)
+        with span("fetch proof log"):
+            return dt.log_to_proof(
+                be, dtx.log_lo, dtx.log_hi, int(dtx.log_len)
+            )
 
     def verify(
         self,
@@ -350,11 +586,12 @@ class BfvEncrypt:
         p = spec.p
         transcript = TranscriptReader(spec, proof)
 
-        point = transcript.squeeze_challenges(self.ct0is_log2_size())
         ct0is_dense = []
         for z in range(min(len(ct0is), self.K)):
             ct0i = poly.new_shifted(ct0is[z], 1 << self.log2_size, p)
             ct0is_dense.extend(ct0i[1:] + [0])
+        transcript.common_felts(ct0is_dense)
+        point = transcript.squeeze_challenges(self.ct0is_log2_size())
         ct0is_value = mle.evaluate(be, be.from_ints(ct0is_dense), point)
         output_claims = [([], spec.zero), (point, ct0is_value)]
 

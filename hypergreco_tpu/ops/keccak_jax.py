@@ -136,6 +136,30 @@ def absorb_lanes(sp: Sponge, lanes_lo, lanes_hi) -> Sponge:
     return Sponge(lo, hi, pos)
 
 
+def absorb_lanes_stream(sp: Sponge, lanes_lo, lanes_hi) -> Sponge:
+    """Absorb any (static) number of lanes via a lax.scan over rate-sized
+    chunks — the bulk path for long messages (e.g. binding a 2^11-felt
+    public statement). A Python loop of absorb_lanes unrolls one full
+    keccak-f per 17 lanes into the trace (~1k ops each) and explodes XLA
+    compile time; the scan compiles the permutation once."""
+    n = lanes_lo.shape[0]
+    q, r = divmod(n, RATE_LANES)
+    if q:
+        def body(carry, chunk):
+            nsp = absorb_lanes(Sponge(*carry), chunk[0], chunk[1])
+            return tuple(nsp), None
+        chunks = (
+            lanes_lo[: q * RATE_LANES].reshape(q, RATE_LANES),
+            lanes_hi[: q * RATE_LANES].reshape(q, RATE_LANES),
+        )
+        carry, _ = jax.lax.scan(body, tuple(sp), chunks)
+        sp = Sponge(*carry)
+    if r:
+        sp = absorb_lanes(sp, lanes_lo[q * RATE_LANES:],
+                          lanes_hi[q * RATE_LANES:])
+    return sp
+
+
 def finalize_reset(sp: Sponge):
     """0x01/0x80 pad, permute, emit the 32-byte digest (4 lanes), reset the
     sponge and re-absorb the digest (transcript.rs squeeze semantics).

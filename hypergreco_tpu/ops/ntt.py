@@ -115,37 +115,37 @@ def _wpow_table(be_name: str, L: int, inverse: bool):
     return be.from_ints(pows)
 
 
-@lru_cache(maxsize=None)
-def _dr_jit(be_name: str, logl: int, inverse: bool, npoints: int):
-    """d(x) = sum_i alpha_i * prod_b ((1-r_ib) + r_ib * w^(x 2^b)),
-    the alpha-combined DFT-row MLE table (scaled by 1/L for inverse)."""
-    be = get_backend(be_name)
+def dft_row_mle_body(be: Backend, points, alphas, wtab, logl: int,
+                     inverse: bool, npoints: int):
+    """Traceable core: d(x) = sum_i alpha_i * prod_b ((1-r_ib) + r_ib *
+    w^(x 2^b)), the alpha-combined DFT-row MLE table (1/L-scaled for
+    inverse). points: [npoints, logl] ext device; alphas: [npoints] ext."""
     L = 1 << logl
     linv = pow(L, be.spec.p - 2, be.spec.p)
+    acc = None
+    for i in range(npoints):
+        prod = None
+        for b in range(logl):
+            idx = ((np.arange(L, dtype=np.int64) << b) % L).astype(np.int32)
+            wb = jax.tree.map(lambda a: a[idx], wtab)
+            rb = be.index(points, (i, b))
+            factor = be.add(be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb))
+            prod = factor if prod is None else be.mul(prod, factor)
+            if (b + 1) % 3 == 0:
+                prod = be.fusion_break(prod)
+        term = be.mul(be.index(alphas, i), prod)
+        acc = be.fusion_break(term if acc is None else be.add(acc, term))
+    if inverse:
+        acc = be.scale(acc, linv)
+    return acc
+
+
+@lru_cache(maxsize=None)
+def _dr_jit(be_name: str, logl: int, inverse: bool, npoints: int):
+    be = get_backend(be_name)
 
     def run(points, alphas, wtab):
-        acc = None
-        for i in range(npoints):
-            prod = None
-            for b in range(logl):
-                idx = ((np.arange(L, dtype=np.int64) << b) % L).astype(
-                    np.int32
-                )
-                wb = jax.tree.map(lambda a: a[idx], wtab)
-                rb = be.index(points, (i, b))
-                factor = be.add(
-                    be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb)
-                )
-                prod = factor if prod is None else be.mul(prod, factor)
-                if (b + 1) % 3 == 0:
-                    prod = be.fusion_break(prod)
-            term = be.mul(be.index(alphas, i), prod)
-            acc = be.fusion_break(
-                term if acc is None else be.add(acc, term)
-            )
-        if inverse:
-            acc = be.scale(acc, linv)
-        return acc
+        return dft_row_mle_body(be, points, alphas, wtab, logl, inverse, npoints)
 
     return jax.jit(run)
 

@@ -3,7 +3,15 @@
 Mirrors the reference's integration spine (generate_sk_enc_test!,
 bfv-gkr/src/test.rs + sk_encryption_circuit.rs:552-626): load witness JSON,
 setup -> prove -> verify. The reference fixtures under
-/root/reference/bfv-gkr/src/data are read-only test vectors."""
+/root/reference/bfv-gkr/src/data are read-only test vectors.
+
+CI tiering: the module's proofs use the host-transcript prover (fast on the
+CPU test backend). The device-resident prover is the TPU serving path —
+per-round keccak on a 4-core CPU makes a full-scale device prove ~25 min,
+so the full-scale device/host byte-parity test is gated behind
+HYPERGRECO_SLOW=1; device-vs-host parity at engine scale is covered by
+test_dgkr_circuit.py and test_memory_checking.py, and bench.py exercises
+the device path on real TPU hardware."""
 
 import os
 
@@ -20,6 +28,8 @@ pytestmark = pytest.mark.skipif(
     not os.path.exists(FIXTURE), reason="reference fixture not mounted"
 )
 
+SLOW = os.environ.get("HYPERGRECO_SLOW") == "1"
+
 
 @pytest.fixture(scope="module")
 def setup_1024():
@@ -29,26 +39,41 @@ def setup_1024():
     return bfv, args, pk, vk
 
 
-def test_sk_enc_valid_1024(setup_1024):
+@pytest.fixture(scope="module")
+def proof_1024(setup_1024):
+    """One host-transcript prove shared by the module's tests."""
     bfv, args, pk, vk = setup_1024
-    proof = bfv.prove(args, pk)
+    return bfv.prove(args, pk, device=False)
+
+
+def test_sk_enc_valid_1024(setup_1024, proof_1024):
+    bfv, args, pk, vk = setup_1024
     inputs_dense, _ = bfv.get_inputs(args)
-    assert bfv.verify(vk, inputs_dense, args["ct0is"], proof)
+    assert bfv.verify(vk, inputs_dense, args["ct0is"], proof_1024)
 
 
-def test_sk_enc_tampered_ct0is_rejected(setup_1024):
+@pytest.mark.skipif(not SLOW, reason="set HYPERGRECO_SLOW=1 (full-scale "
+                    "device prove is ~25 min on the CPU test backend)")
+def test_sk_enc_device_host_proof_parity(setup_1024, proof_1024):
+    """The device-resident prover's bytes match the host-transcript
+    prover's exactly (same protocol, same Fiat-Shamir stream)."""
     bfv, args, pk, vk = setup_1024
-    proof = bfv.prove(args, pk)
+    dev_proof = bfv.prove(args, pk, device=True)
+    assert proof_1024 == dev_proof
+
+
+def test_sk_enc_tampered_ct0is_rejected(setup_1024, proof_1024):
+    bfv, args, pk, vk = setup_1024
     inputs_dense, _ = bfv.get_inputs(args)
     bad_ct0is = [list(c) for c in args["ct0is"]]
     bad_ct0is[0][3] = str((int(bad_ct0is[0][3]) + 1))
     with pytest.raises(ValueError):
-        bfv.verify(vk, inputs_dense, bad_ct0is, proof)
+        bfv.verify(vk, inputs_dense, bad_ct0is, proof_1024)
 
 
-def test_sk_enc_corrupted_proof_rejected(setup_1024):
+def test_sk_enc_corrupted_proof_rejected(setup_1024, proof_1024):
     bfv, args, pk, vk = setup_1024
-    proof = bytearray(bfv.prove(args, pk))
+    proof = bytearray(proof_1024)
     proof[100] ^= 0x01
     inputs_dense, _ = bfv.get_inputs(args)
     with pytest.raises(ValueError):
@@ -64,6 +89,6 @@ def test_sk_enc_self_generated_witness(setup_1024):
     bfv, _, pk, vk = setup_1024
     args2, consts = generate_witness(1024, [82638181], seed=11)
     assert consts.R1_BOUNDS == SK_ENC_1024_1x27.R1_BOUNDS
-    proof = bfv.prove(args2, pk)
+    proof = bfv.prove(args2, pk, device=False)
     inputs_dense, _ = bfv.get_inputs(args2)
     assert bfv.verify(vk, inputs_dense, args2["ct0is"], proof)

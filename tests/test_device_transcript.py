@@ -41,6 +41,37 @@ def test_device_keccak_matches_host():
         assert _dev_digest(data) == keccak256(data), n_lanes
 
 
+def test_device_keccak_stream_matches_host():
+    """Bulk lax.scan absorption (absorb_lanes_stream) == host keccak,
+    across chunk-boundary and mid-block starting positions."""
+    rng = random.Random(9)
+    for pre_lanes, n_lanes in [(0, 17), (0, 34), (0, 129), (3, 2048),
+                               (5, 40), (16, 100)]:
+        pre = bytes(rng.randrange(256) for _ in range(8 * pre_lanes))
+        data = bytes(rng.randrange(256) for _ in range(8 * n_lanes))
+        sp = kj.new_sponge()
+        if pre_lanes:
+            lanes = np.frombuffer(pre, dtype="<u8")
+            sp = kj.absorb_lanes(
+                sp,
+                jnp.asarray((lanes & 0xFFFFFFFF).astype(np.uint32)),
+                jnp.asarray((lanes >> 32).astype(np.uint32)),
+            )
+        lanes = np.frombuffer(data, dtype="<u8")
+        sp = kj.absorb_lanes_stream(
+            sp,
+            jnp.asarray((lanes & 0xFFFFFFFF).astype(np.uint32)),
+            jnp.asarray((lanes >> 32).astype(np.uint32)),
+        )
+        dlo, dhi, _ = kj.finalize_reset(sp)
+        out = np.asarray(dlo, dtype=np.uint64) | (
+            np.asarray(dhi, dtype=np.uint64) << np.uint64(32)
+        )
+        assert out.astype("<u8").tobytes() == keccak256(pre + data), (
+            pre_lanes, n_lanes,
+        )
+
+
 def test_pykeccak_native_snapshot_portable():
     """Canonical 208-byte snapshots interchange between backends (ADVICE r1)."""
     py = _PyKeccak()

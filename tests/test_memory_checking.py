@@ -103,6 +103,55 @@ def test_tampered_witness_rejected():
         mc.verify_memory_checking(SPEC, shapes, 2, LOGL, LOGM, GAMMA, TAU, tr)
 
 
+def test_secure_gamma_tau_roundtrip():
+    """secure_gamma_tau=True keeps gamma/tau in the extension field end to
+    end (ADVICE r1: the old path dropped the ext coefficient on the prover
+    side only and the roundtrip failed)."""
+    witnesses, chunk_of, dims_by_chunk, shapes = _build(44)
+    tw = TranscriptWriter(SPEC)
+    mc.prove_memory_checking(
+        BE, witnesses, chunk_of, dims_by_chunk, GAMMA, TAU, tw,
+        secure_gamma_tau=True,
+    )
+    tr = TranscriptReader(SPEC, tw.into_proof())
+    mc.verify_memory_checking(
+        SPEC, shapes, 2, LOGL, LOGM, GAMMA, TAU, tr, secure_gamma_tau=True
+    )
+    tr.assert_consumed()
+
+
+def test_device_mc_matches_host():
+    """Device-resident MC prover: byte-identical transcript to the host."""
+    import jax
+
+    from hypergreco_tpu.gkr import dtranscript as dt
+    from hypergreco_tpu.lasso import dmemory_checking as dmc
+
+    witnesses, chunk_of, dims_by_chunk, shapes = _build(45)
+    tw = TranscriptWriter(SPEC)
+    mc.prove_memory_checking(BE, witnesses, chunk_of, dims_by_chunk, GAMMA, TAU, tw)
+    host_proof = tw.into_proof()
+
+    dtx = dt.new_dtx(8192)
+    gamma_dev = BE.scalar(GAMMA, ext=True)
+    tau_dev = BE.scalar(TAU, ext=True)
+
+    wdicts = [dmc.witness_dict(w) for w in witnesses]
+
+    def run(wds, dims, dtx):
+        return dmc.mc_rounds(
+            BE, wds, chunk_of, dims, gamma_dev, tau_dev, dtx
+        )
+
+    dtx = jax.jit(run)(wdicts, dims_by_chunk, dtx)
+    dev_proof = dt.log_to_proof(BE, dtx.log_lo, dtx.log_hi, int(dtx.log_len))
+    assert dev_proof == host_proof
+
+    tr = TranscriptReader(SPEC, dev_proof)
+    mc.verify_memory_checking(SPEC, shapes, 2, LOGL, LOGM, GAMMA, TAU, tr)
+    tr.assert_consumed()
+
+
 def test_corrupted_proof_rejected():
     witnesses, chunk_of, dims_by_chunk, shapes = _build(43)
     tw = TranscriptWriter(SPEC)
