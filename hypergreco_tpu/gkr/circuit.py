@@ -115,7 +115,8 @@ class Node:
     def evaluate(self, be: Backend, inputs: list):
         raise NotImplementedError
 
-    def prove_claim_reduction(self, be, claims, inputs, transcript):
+    def prove_claim_reduction(self, be, claims, inputs, transcript,
+                              mesh=None):
         raise NotImplementedError
 
     def verify_claim_reduction(self, be, claims, transcript):
@@ -499,7 +500,8 @@ class VanillaNode(Node):
             terms.append(Term(None, (2 * self.P + qi, 2 * sq["pa"] + 1)))
         return SumcheckExpr(terms, 2 * self.P + len(quad))
 
-    def prove_claim_reduction(self, be, claims, inputs, transcript):
+    def prove_claim_reduction(self, be, claims, inputs, transcript,
+                              mesh=None):
         spec = be.spec
         const, lin, quad = self._build_wiring(be.spec.p)
         points, alphas, combined = _combine_claims(be, claims, transcript)
@@ -515,7 +517,7 @@ class VanillaNode(Node):
         tables.extend(Hs)
         expr = self._phase1_expr()
         fclaim, u, fevals = prove_sum_check(
-            be, expr, [], claim1, tables, transcript
+            be, expr, [], claim1, tables, transcript, mesh=mesh
         )
         in_evals = [fevals[2 * p + 1] for p in range(self.P)]
         h_evals = [fevals[2 * self.P + qi] for qi in range(len(quad))]
@@ -542,7 +544,7 @@ class VanillaNode(Node):
             ]
             expr2 = SumcheckExpr(terms2, len(quad) + len(pbs))
             fclaim2, v2, fevals2 = prove_sum_check(
-                be, expr2, [], claim2, tables2, transcript
+                be, expr2, [], claim2, tables2, transcript, mesh=mesh
             )
             pb_evals = [fevals2[pb_pos[pb]] for pb in pbs]
             transcript.write_felts_ext(pb_evals)
@@ -788,13 +790,14 @@ class FftNode(Node):
         (x,) = inputs
         return ntt.ntt(be, x, inverse=self.inverse)
 
-    def prove_claim_reduction(self, be, claims, inputs, transcript):
+    def prove_claim_reduction(self, be, claims, inputs, transcript,
+                              mesh=None):
         spec = be.spec
         points, alphas, combined = _combine_claims(be, claims, transcript)
         d = ntt.dft_row_mle(be, points, alphas, self.log2_size, self.inverse)
         expr = SumcheckExpr([Term(None, (0, 1))], 2)
         fclaim, u, fevals = prove_sum_check(
-            be, expr, [], combined, [d, inputs[0]], transcript
+            be, expr, [], combined, [d, inputs[0]], transcript, mesh=mesh
         )
         transcript.write_felt_ext(fevals[1])
         return [[(u, fevals[1])]]
@@ -870,8 +873,11 @@ class LassoCircuitNode(Node):
     def evaluate(self, be: Backend, inputs: list):
         return be.zeros((1,))
 
-    def prove_claim_reduction(self, be, claims, inputs, transcript):
-        return [self.inner.prove_claim_reduction(inputs[0], transcript)]
+    def prove_claim_reduction(self, be, claims, inputs, transcript,
+                              mesh=None):
+        return [
+            self.inner.prove_claim_reduction(inputs[0], transcript, mesh=mesh)
+        ]
 
     def prove_claim_reduction_device(self, be, claim_pts, inputs, dtx):
         r, dtx = self.inner.prove_claim_reduction_device(inputs[0], dtx)
@@ -963,6 +969,7 @@ def prove_gkr(
     transcript,
     checkpoint_cb=None,
     resume=None,
+    mesh=None,
 ):
     """output_claims: [(point, value)] per output node (insertion order).
     Returns claims per input node.
@@ -998,7 +1005,8 @@ def prove_gkr(
         ins = circuit.node_inputs[nid]
         with span(f"{type(node).__name__}[{nid}]::prove_claim_reduction"):
             child = node.prove_claim_reduction(
-                be, claims[nid], [values[j] for j in ins], transcript
+                be, claims[nid], [values[j] for j in ins], transcript,
+                mesh=mesh,
             )
         assert len(child) == len(ins)
         for cid, cls_ in zip(ins, child):

@@ -130,7 +130,7 @@ def _gp_expr(m: int) -> SumcheckExpr:
     )
 
 
-def prove_grand_product(be: Backend, leaves, transcript):
+def prove_grand_product(be: Backend, leaves, transcript, mesh=None):
     """leaves: list of M device vectors, all length L = 2^v, v >= 1.
     Returns (products, point, claims): per-memory leaf-MLE eval claims at
     `point` (LSB-first, length v). Claims/products are host ext tuples."""
@@ -164,6 +164,15 @@ def prove_grand_product(be: Backend, leaves, transcript):
     ]
     point = [mu]
 
+    from ..runtime import sanity_enabled
+
+    if sanity_enabled():  # root cross-check (prover.rs:207-211 parity)
+        for i, (l_, r_) in enumerate(lr):
+            if spec.emul(l_, r_) != products[i]:
+                raise AssertionError(
+                    f"sanity: grand-product root {i} != W1(0)*W1(1)"
+                )
+
     expr = _gp_expr(m)
     bufv = max(v - 1, 1)
     for l in range(1, v):
@@ -176,7 +185,8 @@ def prove_grand_product(be: Backend, leaves, transcript):
             tables.append(lo)
             tables.append(hi)
         fclaim, s, fevals = prove_sum_check(
-            be, expr, alphas, batched, tables, transcript, num_vars=l
+            be, expr, alphas, batched, tables, transcript, num_vars=l,
+            mesh=mesh,
         )
         transcript.write_felts_ext(fevals[1:])  # L_i, R_i; eq is recomputable
         mu = transcript.squeeze_challenge()

@@ -121,6 +121,7 @@ def prove_memory_checking(
     tau,
     transcript,
     secure_gamma_tau: bool = False,
+    mesh=None,
 ):
     """Returns dict of opening claims (for caller-side sanity/debug)."""
     spec = be.spec
@@ -156,7 +157,9 @@ def prove_memory_checking(
     )
 
     # --- tree 1: reads || writes ---
-    prods_rw, z1, claims_rw = prove_grand_product(be, reads + writes, transcript)
+    prods_rw, z1, claims_rw = prove_grand_product(
+        be, reads + writes, transcript, mesh=mesh
+    )
     alpha = transcript.squeeze_challenge()
 
     expr, coeffs, tables, openings_layout = _rw_sumcheck_parts(
@@ -168,18 +171,32 @@ def prove_memory_checking(
             batched, spec.emul(spec.epow(alpha, i), spec._c(claims_rw[i]))
         )
     fclaim, x, fevals = prove_sum_check(
-        be, expr, coeffs, batched, tables, transcript
+        be, expr, coeffs, batched, tables, transcript, mesh=mesh
     )
     # openings: dim_c~(x) per chunk, then (e_m~(x), ts_m~(x)) per memory
     openings = [fevals[i] for i in openings_layout]
     transcript.write_felts_ext(openings)
 
     # --- tree 2: inits || finals ---
-    prods_if, z2, claims_if = prove_grand_product(be, inits + finals, transcript)
+    prods_if, z2, claims_if = prove_grand_product(
+        be, inits + finals, transcript, mesh=mesh
+    )
     final_cts_openings = [
         mle.evaluate(be, w.final_cts, z2) for w in witnesses
     ]
     transcript.write_felts_ext(final_cts_openings)
+
+    from ..runtime import sanity_enabled
+
+    if sanity_enabled():  # multiset-hash balance (prover.rs:136-141 parity):
+        # prod(init) * prod(writes) == prod(reads) * prod(final) per memory
+        for i in range(M):
+            lhs = spec.emul(spec._c(prods_if[i]), spec._c(prods_rw[M + i]))
+            rhs = spec.emul(spec._c(prods_rw[i]), spec._c(prods_if[M + i]))
+            if lhs != rhs:
+                raise AssertionError(
+                    f"sanity: multiset hash imbalance in memory {i}"
+                )
 
     return {
         "z1": z1,

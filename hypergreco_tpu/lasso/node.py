@@ -228,7 +228,7 @@ class LassoNode:
         ]
         return SumcheckExpr(terms, 1 + 2 * self.pp.num_memories)
 
-    def prove_claim_reduction(self, inputs, transcript):
+    def prove_claim_reduction(self, inputs, transcript, mesh=None):
         """inputs: GL [2^num_vars] (the node's single input MLE).
         Returns [(point, claim)] for the input node."""
         be = self.be
@@ -245,8 +245,29 @@ class LassoNode:
             tables = [mle.eq_table(be, r)]
             for m, w in enumerate(witnesses):
                 tables.extend([w.sel_dense, w.e])
+
+            from ..runtime import sanity_enabled
+
+            if sanity_enabled():
+                # collation claim vs direct evaluation (lasso.rs:265-267
+                # parity): sum_m w_m * <eq(r), sel_m . e_m> must equal the
+                # input MLE evaluated at r
+                acc = spec.zero
+                for m, w in enumerate(witnesses):
+                    dg = be.sum_digest(
+                        be.mul(tables[0], be.mul(w.sel_dense, w.e))
+                    )
+                    val = spec._c(be.digest_value(dg))
+                    acc = spec.eadd(
+                        acc, spec.emul(spec._c(self.weights[m]), val)
+                    )
+                if acc != spec._c(claimed_sum):
+                    raise AssertionError(
+                        "sanity: collation claim != direct evaluation"
+                    )
             fclaim, x, fevals = prove_sum_check(
-                be, expr, self.weights, claimed_sum, tables, transcript
+                be, expr, self.weights, claimed_sum, tables, transcript,
+                mesh=mesh,
             )
         e_openings = [fevals[2 + 2 * m] for m in range(self.pp.num_memories)]
         transcript.write_felts_ext(e_openings)
@@ -254,9 +275,13 @@ class LassoNode:
         gamma = transcript.squeeze_challenge()
         tau = transcript.squeeze_challenge()
         with span("LassoNode::memory_checking"):
-            return self._prove_mc(witnesses, dims_gl, gamma, tau, transcript, r, claimed_sum)
+            return self._prove_mc(
+                witnesses, dims_gl, gamma, tau, transcript, r, claimed_sum,
+                mesh=mesh,
+            )
 
-    def _prove_mc(self, witnesses, dims_gl, gamma, tau, transcript, r, claimed_sum):
+    def _prove_mc(self, witnesses, dims_gl, gamma, tau, transcript, r,
+                  claimed_sum, mesh=None):
         mc.prove_memory_checking(
             self.be,
             witnesses,
@@ -265,6 +290,7 @@ class LassoNode:
             gamma,
             tau,
             transcript,
+            mesh=mesh,
         )
         return [(r, claimed_sum)]
 

@@ -494,15 +494,26 @@ class BfvEncrypt:
     # ------------------------------------------------------------------
 
     def prove(
-        self, args: dict, pk: LassoPreprocessing, device: bool = True
+        self,
+        args: dict,
+        pk: LassoPreprocessing,
+        device: bool = True,
+        mesh=None,
     ) -> bytes:
         """device=True (default): the device-resident prover — every
         sumcheck round, transcript absorb and challenge squeeze runs on
         device; the host enqueues per-node programs asynchronously and
         reads back only the final proof-felt log (ONE transfer).
         device=False: the host-transcript prover (supports
-        checkpoint/resume). Both produce identical proof bytes."""
+        checkpoint/resume and multi-chip `mesh`). Both produce identical
+        proof bytes.
+
+        `mesh` (jax Mesh with an "hc" axis, host path only): shards every
+        node-reduction / collation / grand-product sumcheck's hypercube
+        across devices ("halve-until-local" schedule, SURVEY.md §5.7);
+        proof bytes are invariant to the device count (tested at 1/2/4/8)."""
         if device:
+            assert mesh is None, "mesh sharding uses the host-path prover"
             return self._prove_device(args, pk)
         be = self.be
         spec = be.spec
@@ -528,7 +539,7 @@ class BfvEncrypt:
                 output_claims = [([], spec.zero), (point, ct0is_value)]
 
         with span("GKR prove"):
-            prove_gkr(circuit, values, output_claims, transcript)
+            prove_gkr(circuit, values, output_claims, transcript, mesh=mesh)
         return transcript.into_proof()
 
     def _prove_device(self, args: dict, pk: LassoPreprocessing) -> bytes:

@@ -72,13 +72,27 @@ def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
     L = 1 << logl
     bitrev, stages = _plan(be_name, L, inverse)
     linv = pow(L, be.spec.p - 2, be.spec.p)
+    # Stage loop as lax.scan over stacked [logl, L] index/twiddle arrays:
+    # compile cost is ONE butterfly stage regardless of logl. (Unrolling all
+    # stages of a BN254 CIOS mul chain took multi-minute XLA compiles.)
+    P0 = jnp.asarray(np.stack([s[0] for s in stages])) if stages else None
+    P1 = jnp.asarray(np.stack([s[1] for s in stages])) if stages else None
+    TW = (
+        jax.tree.map(lambda *ls: jnp.stack(ls), *[s[2] for s in stages])
+        if stages
+        else None
+    )
 
     def run(x):
         x = jax.tree.map(lambda a: a[..., bitrev], x)
-        for p0, p1, twid in stages:
-            lo = jax.tree.map(lambda a: a[..., p0], x)
-            hi = jax.tree.map(lambda a: a[..., p1], x)
-            x = be.add(lo, be.mul(twid, hi))
+        if stages:
+            def body(acc, st):
+                p0, p1, twid = st
+                lo = jax.tree.map(lambda a: a[..., p0], acc)
+                hi = jax.tree.map(lambda a: a[..., p1], acc)
+                return be.add(lo, be.mul(twid, hi)), None
+
+            x, _ = jax.lax.scan(body, x, (P0, P1, TW))
         if inverse:
             x = be.scale(x, linv)
         return x

@@ -16,6 +16,15 @@ import jax
 _INITIALIZED = False
 
 
+def sanity_enabled() -> bool:
+    """HYPERGRECO_SANITY=1 enables internal-equality checks in the prover
+    (parity with the reference's `sanity-check` cargo feature,
+    lasso/Cargo.toml:27-28): collation claim vs direct evaluation
+    (lasso.rs:265-267), grand-product root cross-check (prover.rs:207-211),
+    and multiset-hash balance (prover.rs:136-141)."""
+    return os.environ.get("HYPERGRECO_SANITY") == "1"
+
+
 def init(platform: str | None = None, cache_dir: str | None = None):
     global _INITIALIZED
     if platform:
