@@ -165,11 +165,19 @@ def sub(a: FR, b: FR) -> FR:
 
 def _mont_mul_digits(da, db):
     """Montgomery product digits: returns (a*b*R^-1 mod p)-ish digits plus a
-    final conditional subtract. CIOS, base 2^16."""
-    zeros = jnp.zeros_like(da[0])
-    t = [zeros] * (DIGITS + 2)
-    for i in range(DIGITS):
-        ai = da[i]
+    final conditional subtract. CIOS, base 2^16.
+
+    The outer digit loop runs as a lax.scan (carry = the t accumulator
+    stack): a fully unrolled CIOS is ~256 mul-add-carry steps and XLA's
+    compile time on programs with several such muls was minutes; the scan
+    body is one outer iteration (~32 steps) regardless of DIGITS."""
+    shape = jnp.broadcast_shapes(da[0].shape, db[0].shape)
+    zeros = jnp.zeros(shape, dtype=_U32)
+    tstk = jnp.stack([zeros] * (DIGITS + 2))
+    astk = jnp.stack([jnp.broadcast_to(d, shape) for d in da])
+
+    def body(tstk, ai):
+        t = [tstk[k] for k in range(DIGITS + 2)]
         # t += ai * b
         carry = zeros
         for j in range(DIGITS):
@@ -195,12 +203,13 @@ def _mont_mul_digits(da, db):
         t[DIGITS - 1] = v & _MASK
         t[DIGITS] = t[DIGITS + 1] + (v >> 16)
         t[DIGITS + 1] = zeros
-        if (i + 1) % 2 == 0:
-            t = [_brk(x) for x in t]
+        return jnp.stack(t), None
+
+    tstk, _ = jax.lax.scan(body, tstk, astk)
     # t < 2p (CIOS invariant); conditional subtract
-    digs = t[:DIGITS]
-    # fold the potential extra digit t[DIGITS] (0 or small) into the compare:
-    # CIOS guarantees t < 2p < 2^255 so t[DIGITS] is 0 after the loop shifts
+    digs = [tstk[k] for k in range(DIGITS)]
+    # the potential extra digit t[DIGITS] is 0 after the loop shifts
+    # (CIOS guarantees t < 2p < 2^255)
     return _cond_sub_p(digs)
 
 
