@@ -676,33 +676,57 @@ class VanillaNode(Node):
                 out_claims[pb].append(v2)
         return out_claims, dtx
 
+    # ----- host verifier (closed-form wiring evaluation) -----
+
+    def _host_wiring(self):
+        """Affine-run decomposition of the wiring for the host verifier
+        (wiring_eval module): built once per node."""
+        cw = getattr(self, "_host_wiring_cache", None)
+        if cw is None:
+            from . import wiring_eval as we
+
+            const, lin, quad = self._build_wiring()
+            cr = we.const_runs(const)
+            lrs = [
+                we.split_runs_by_block(
+                    we.affine_runs(sl["coef"], sl["src"]), self.S
+                )
+                for sl in lin
+            ]
+            qrs = [
+                we.affine_runs(sq["coef"], sq["a"], sq["b"]) for sq in quad
+            ]
+            cw = self._host_wiring_cache = (cr, lrs, qrs)
+        return cw
+
+    def _eq_wiring_sum(self, spec, points, alphas, runs_pairs):
+        """sum_i alpha_i sum_{y in [y0,y1)} eq(pt_i, y) * prod extra eqs."""
+        from . import wiring_eval as we
+
+        acc = spec.zero
+        for pt, al in zip(points, alphas):
+            for (y0, y1), extra in runs_pairs:
+                v = we.eq_affine_sum(spec, [(pt, 0)] + extra, y0, y1)
+                acc = spec.eadd(acc, spec.emul(al, v))
+        return acc
+
     def verify_claim_reduction(self, be, claims, transcript):
+        """Pure-host verifier: the wiring MLEs A_p~(u), W_q~(v2) and
+        <Eq, const> are evaluated in closed form over the affine-run
+        decomposition (O(runs * v^2) scalar ext ops) — no device programs,
+        no transfers (the round-2 device-assisted verifier spent seconds on
+        TPU-tunnel round trips; the reference verifies on CPU in ms)."""
+        from . import wiring_eval as we
+
         spec = be.spec
         const, lin, quad = self._build_wiring(be.spec.p)
         points, alphas, combined = _combine_claims(be, claims, transcript)
-        Eq = eq_rlc_table(be, points, alphas)
+        cr, lrs, qrs = self._host_wiring()
 
-        # device-assisted public recompute of A and <Eq, const>
-        def make():
-            def run(Eq):
-                A = None
-                for sl in lin:
-                    vals = be.mul(Eq, self._const_vec(be, sl["coef"]))
-                    part = be.scatter_add_mod(
-                        jnp.asarray(sl["src"].astype(np.int32)),
-                        vals,
-                        self.P * self.S,
-                    )
-                    A = part if A is None else be.add(A, part)
-                if A is None:
-                    A = be.zeros((self.P * self.S,), ext=True)
-                cdot = be.sum_digest(be.mul(Eq, self._const_vec(be, const)))
-                return A, cdot
-
-            return run
-
-        A_flat, cdot = self._get_prog(be, "verify_pub", make)(Eq)
-        cterm = spec._c(be.digest_value(cdot))
+        cterm = spec.zero
+        for y0, y1, val in cr:
+            s = self._eq_wiring_sum(spec, points, alphas, [((y0, y1), [])])
+            cterm = spec.eadd(cterm, spec.escale(s, val))
         claim1 = spec.esub(combined, cterm)
 
         sv = self.S.bit_length() - 1
@@ -711,10 +735,22 @@ class VanillaNode(Node):
         evals = transcript.read_felts_ext(self.P + len(quad))
         in_evals = evals[: self.P]
         h_evals = evals[self.P :]
+
+        # A_p~(u) = sum_runs coef * sum_i alpha_i
+        #           sum_y eq(pt_i, y) eq(u, y + (local0 - y0))
+        a_evals = [spec.zero] * self.P
+        for runs in lrs:
+            for y0, y1, coef, (src0,) in runs:
+                p_idx = src0 // self.S
+                local0 = src0 - p_idx * self.S
+                s = self._eq_wiring_sum(
+                    spec, points, alphas,
+                    [((y0, y1), [(u, local0 - y0)])],
+                )
+                a_evals[p_idx] = spec.eadd(a_evals[p_idx], spec.escale(s, coef))
         acc = spec.zero
-        for p, A in enumerate(self._split_A(be, A_flat)):
-            a_eval = mle.evaluate(be, A, u)
-            acc = spec.eadd(acc, spec.emul(a_eval, spec._c(in_evals[p])))
+        for p in range(self.P):
+            acc = spec.eadd(acc, spec.emul(a_evals[p], spec._c(in_evals[p])))
         for qi, sq in enumerate(quad):
             acc = spec.eadd(
                 acc,
@@ -734,16 +770,21 @@ class VanillaNode(Node):
             pbs = sorted({sq["pb"] for sq in quad})
             pb_evals = transcript.read_felts_ext(len(pbs))
             pb_map = dict(zip(pbs, pb_evals))
-            eq_u = eq_rlc_table(be, [u], [spec.one])
-            Ws = self._w_tables(be, Eq, eq_u)
             acc2 = spec.zero
-            for qi, (sq, W) in enumerate(zip(quad, Ws)):
-                w_eval = mle.evaluate(be, W, v2)
+            for qi, (sq, runs) in enumerate(zip(quad, qrs)):
+                wsum = spec.zero
+                for y0, y1, coef, (a0, b0) in runs:
+                    aloc0 = a0 - sq["pa"] * self.S
+                    bloc0 = b0 - sq["pb"] * self.S
+                    s = self._eq_wiring_sum(
+                        spec, points, alphas,
+                        [((y0, y1), [(u, aloc0 - y0), (v2, bloc0 - y0)])],
+                    )
+                    wsum = spec.eadd(wsum, spec.escale(s, coef))
                 acc2 = spec.eadd(
                     acc2,
                     spec.emul(
-                        spec.emul(betas[qi], w_eval),
-                        spec._c(pb_map[sq["pb"]]),
+                        spec.emul(betas[qi], wsum), spec._c(pb_map[sq["pb"]])
                     ),
                 )
             if acc2 != fclaim2:
@@ -846,14 +887,26 @@ class FftNode(Node):
         return [[u]], dtx
 
     def verify_claim_reduction(self, be, claims, transcript):
+        """Host verifier: the combined DFT-row MLE d~(u) is evaluated with
+        numpy field vectors (NpField.d_table, ~2*2^logl mults per claim
+        point via bit-doubling) — no device involvement."""
+        from ..utils.npfield import NpField
+
         spec = be.spec
         points, alphas, combined = _combine_claims(be, claims, transcript)
         fclaim, u = verify_sum_check(
             spec, 2, self.log2_size, combined, transcript
         )
         in_eval = transcript.read_felt_ext()
-        d = ntt.dft_row_mle(be, points, alphas, self.log2_size, self.inverse)
-        d_eval = mle.evaluate(be, d, u)
+        npf = NpField.for_spec(spec)
+        d = npf.d_table(
+            [[spec._c(r) for r in pt] for pt in points],
+            [spec._c(a) for a in alphas],
+            self.log2_size,
+            self.inverse,
+        )
+        equ = npf.eq_table([spec._c(r) for r in u])
+        d_eval = npf.dot_ext(d, equ)
         if spec.emul(d_eval, spec._c(in_eval)) != fclaim:
             raise ValueError("fft node: claim mismatch")
         return [[(u, in_eval)]]
@@ -1039,6 +1092,9 @@ def prove_gkr_device(circuit: Circuit, values: list, output_claim_pts: list,
     assert len(output_claim_pts) == len(outs)
     for nid, cl in zip(outs, output_claim_pts):
         claims[nid] = list(cl)
+    import os
+
+    sync_spans = os.environ.get("HYPERGRECO_SYNC_SPANS") == "1"
     for nid in reversed(circuit.topo_order()):
         node = circuit.nodes[nid]
         if node.is_input() or not claims[nid]:
@@ -1048,6 +1104,8 @@ def prove_gkr_device(circuit: Circuit, values: list, output_claim_pts: list,
             child, dtx = node.prove_claim_reduction_device(
                 be, claims[nid], [values[j] for j in ins], dtx
             )
+            if sync_spans:  # profiling: attribute async device time per node
+                jax.block_until_ready(dtx.log_len)
         assert len(child) == len(ins)
         for cid, cls_ in zip(ins, child):
             claims[cid].extend(cls_)

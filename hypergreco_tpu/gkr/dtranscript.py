@@ -166,3 +166,43 @@ def log_to_proof(be: Backend, log_lo, log_hi, log_len: int) -> bytes:
     hi = np.asarray(log_hi[:log_len], dtype=np.uint64)
     lanes = (lo | (hi << np.uint64(32))).astype("<u8")
     return lanes.tobytes()
+
+
+@jax.jit
+def _pack_log(log_lo, log_hi, log_len):
+    """[2, n+1] uint32: row packing so the whole proof log plus its length
+    counter comes back in ONE device->host transfer (each transfer over the
+    TPU tunnel costs 10-100 ms; the round-2 fetch made several and moved the
+    full oversized capacity buffer: 625 ms of the 780 ms gl1024 prove)."""
+    n = log_lo.shape[0]
+    ll = jnp.asarray(log_len, dtype=jnp.uint32).reshape(1)
+    return jnp.stack(
+        [jnp.concatenate([log_lo, ll]), jnp.concatenate([log_hi, ll])]
+    )
+
+
+def fetch_proof(dtx: DTx, expect_lanes: int | None = None) -> bytes:
+    """Proof bytes from a device transcript in ONE transfer.
+
+    expect_lanes: known proof length in lanes (deterministic per circuit) —
+    the log buffer is sliced to it on device before the transfer. Pass None
+    on the first prove of a config; the caller should cache the returned
+    length for subsequent proves."""
+    lo, hi, ln = dtx.log_lo, dtx.log_hi, dtx.log_len
+    if expect_lanes is not None and expect_lanes < lo.shape[0]:
+        lo = jax.lax.slice_in_dim(lo, 0, expect_lanes)
+        hi = jax.lax.slice_in_dim(hi, 0, expect_lanes)
+    packed = np.asarray(_pack_log(lo, hi, ln))
+    log_len = int(packed[0, -1])
+    if log_len > dtx.log_lo.shape[0]:
+        raise ValueError(
+            f"device proof log overflow: {log_len} lanes written into a "
+            f"{dtx.log_lo.shape[0]}-lane buffer — raise the dtx capacity"
+        )
+    if expect_lanes is not None and log_len != expect_lanes:
+        raise ValueError(
+            f"proof log length {log_len} != expected {expect_lanes}"
+        )
+    lo64 = packed[0, :log_len].astype(np.uint64)
+    hi64 = packed[1, :log_len].astype(np.uint64)
+    return (lo64 | (hi64 << np.uint64(32))).astype("<u8").tobytes()

@@ -87,20 +87,35 @@ class SumcheckExpr:
         return acc
 
 
+@lru_cache(maxsize=None)
+def _lagrange_den_invs(p: int, n: int) -> tuple:
+    """Inverse denominators prod_{j!=i} (i-j)^-1 for nodes 0..n-1."""
+    out = []
+    for i in range(n):
+        den = 1
+        for j in range(n):
+            if j != i:
+                den *= i - j
+        out.append(pow(den % p, p - 2, p))
+    return tuple(out)
+
+
 def lagrange_interp_eval(spec: FieldSpec, ys, r):
     """Evaluate the poly through points (i, ys[i]), i = 0..len-1, at ext r."""
     n = len(ys)
     r = spec._c(r)
+    dinv = _lagrange_den_invs(spec.p, n)
+    # prefix/suffix products of (r - j): num_i = pre[i] * suf[i+1]
+    diffs = [spec.esub(r, spec.ext(j)) for j in range(n)]
+    pre = [spec.one]
+    for d in diffs:
+        pre.append(spec.emul(pre[-1], d))
+    suf = [spec.one] * (n + 1)
+    for j in range(n - 1, -1, -1):
+        suf[j] = spec.emul(suf[j + 1], diffs[j])
     acc = spec.zero
     for i in range(n):
-        num = spec.one
-        den = 1
-        for j in range(n):
-            if j == i:
-                continue
-            num = spec.emul(num, spec.esub(r, spec.ext(j)))
-            den = den * (i - j)
-        li = spec.emul(num, spec.ext(pow(den % spec.p, spec.p - 2, spec.p)))
+        li = spec.escale(spec.emul(pre[i], suf[i + 1]), dinv[i])
         acc = spec.eadd(acc, spec.emul(spec._c(ys[i]), li))
     return acc
 

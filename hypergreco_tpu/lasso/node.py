@@ -180,41 +180,104 @@ class LassoNode:
     # witness generation (device)
     # ------------------------------------------------------------------
 
-    def polynomialize(self, inputs):
-        """inputs: GL [2^num_vars] lookup values (shifted, in-range).
-        Returns (witnesses, dims_by_chunk) for memory checking + collation."""
+    def _static_dev(self):
+        """Device-resident static data (subtables, selectors): built ONCE —
+        round-2 polynomialize re-uploaded the 5x65536 subtables every prove
+        (131 ms of the 780 ms gl1024 TPU prove)."""
+        sd = getattr(self, "_static_dev_cache", None)
+        if sd is None:
+            be = self.be
+            sub_dev = [be.from_ints(t) for t in self.pp.materialized]
+            sel_int = [
+                jnp.asarray(np.asarray(s.dense(), dtype=np.int32))
+                for s in self.memory_selectors
+            ]
+            jax.block_until_ready(jax.tree.leaves((sub_dev, sel_int)))
+            sd = self._static_dev_cache = (sub_dev, sel_int)
+        return sd
+
+    def _poly_prog(self):
+        """ONE fused program for the whole polynomialize phase (the per-
+        memory counters/epoly/cast dispatch pipeline cost ~20 round trips)."""
+        fn = getattr(self, "_poly_prog_cache", None)
+        if fn is not None:
+            return fn
         be = self.be
         pp = self.pp
         L = 1 << self.num_vars
-        dims_int = _dims_jit(be.spec.name, self.num_vars, self.num_chunks)(inputs)
-        dims_gl = [_as_gl(be, d) for d in dims_int]
+        M = 1 << self.logm
+        num_chunks = self.num_chunks
+        mem_chunk = list(pp.memory_to_dimension_index)
+        mem_sub = list(pp.memory_to_subtable_index)
 
-        sub_dev = [be.from_ints(t) for t in pp.materialized]
-        sel_int = [
-            jnp.asarray(np.asarray(s.dense(), dtype=np.int32))
-            for s in self.memory_selectors
-        ]
-        witnesses = []
-        for m in range(pp.num_memories):
-            c = pp.memory_to_dimension_index[m]
-            st = pp.memory_to_subtable_index[m]
-            ts, final = _counters_jit(be.spec.name, self.num_vars, self.logm)(
-                dims_int[c], sel_int[m]
-            )
-            e = _epoly_jit(be.spec.name, self.num_vars, self.logm)(
-                dims_int[c], sel_int[m], sub_dev[st]
-            )
-            witnesses.append(
-                mc.MemoryWitness(
-                    dim=dims_gl[c],
-                    e=e,
-                    read_ts=_as_gl(be, ts),
-                    final_cts=_as_gl(be, final),
-                    subtable=sub_dev[st],
-                    selector=self.memory_selectors[m],
-                    sel_dense=_as_gl(be, sel_int[m]),
+        def to_base(x):
+            u = x.astype(jnp.uint32)
+            if be.from_u32 is not None:
+                return be.from_u32(u)
+            return GL(u, jnp.zeros_like(u))
+
+        def run(inputs, sub_dev, sel_int):
+            leaves = jax.tree.leaves(inputs)
+            dims_int = [
+                ((leaves[c // 2] >> (16 * (c % 2))) & 0xFFFF).astype(jnp.int32)
+                for c in range(num_chunks)
+            ]
+            dims_gl = [to_base(d) for d in dims_int]
+            wits = []
+            for m in range(len(mem_chunk)):
+                addr = dims_int[mem_chunk[m]]
+                sel = sel_int[m]
+                key = jnp.where(sel > 0, addr, M)
+                order = jnp.argsort(key, stable=True)
+                skey = key[order]
+                first = jnp.searchsorted(skey, skey, side="left")
+                ranks = jnp.arange(L, dtype=jnp.int32) - first.astype(jnp.int32)
+                read_ts = jnp.zeros(L, dtype=jnp.int32).at[order].set(ranks)
+                read_ts = jnp.where(sel > 0, read_ts, 0)
+                final = (
+                    jnp.zeros(M + 1, dtype=jnp.int32)
+                    .at[key]
+                    .add(1, mode="drop")[:M]
                 )
+                table = sub_dev[mem_sub[m]]
+                e = be.select(
+                    sel > 0,
+                    jax.tree.map(lambda a: a[addr], table),
+                    be.zeros(addr.shape),
+                )
+                wits.append(
+                    {
+                        "dim": dims_gl[mem_chunk[m]],
+                        "e": e,
+                        "read_ts": to_base(read_ts),
+                        "final_cts": to_base(final),
+                        "subtable": table,
+                        "sel_dense": to_base(sel),
+                    }
+                )
+            return wits, dims_gl
+
+        fn = self._poly_prog_cache = jax.jit(run)
+        return fn
+
+    def polynomialize(self, inputs):
+        """inputs: base-field [2^num_vars] lookup values (shifted, in-range).
+        Returns (witnesses, dims_by_chunk) for memory checking + collation.
+        One fused dispatch over cached static device data."""
+        sub_dev, sel_int = self._static_dev()
+        wits, dims_gl = self._poly_prog()(inputs, sub_dev, sel_int)
+        witnesses = [
+            mc.MemoryWitness(
+                dim=w["dim"],
+                e=w["e"],
+                read_ts=w["read_ts"],
+                final_cts=w["final_cts"],
+                subtable=w["subtable"],
+                selector=self.memory_selectors[m],
+                sel_dense=w["sel_dense"],
             )
+            for m, w in enumerate(wits)
+        ]
         return witnesses, dims_gl
 
     # ------------------------------------------------------------------

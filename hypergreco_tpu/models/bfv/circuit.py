@@ -578,9 +578,11 @@ class BfvEncrypt:
             out_pts = [[None], [point]]
             _, dtx = prove_gkr_device(circuit, values, out_pts, dtx)
         with span("fetch proof log"):
-            return dt.log_to_proof(
-                be, dtx.log_lo, dtx.log_hi, int(dtx.log_len)
-            )
+            # proof length is deterministic per circuit: slice the log to the
+            # known lane count on device so the fetch is ONE minimal transfer
+            proof = dt.fetch_proof(dtx, getattr(self, "_proof_lanes", None))
+            self._proof_lanes = len(proof) // 8  # one uint32 pair per lane
+            return proof
 
     def verify(
         self,
@@ -591,10 +593,17 @@ class BfvEncrypt:
     ):
         """inputs_dense: the prover's input vectors (no PCS — the reference
         verifier consumes raw inputs, sk_encryption_circuit.rs:473, 512-516);
-        ct0is: public ciphertext coefficient-string lists."""
+        ct0is: public ciphertext coefficient-string lists.
+
+        The verifier is PURE HOST (numpy + scalar field ops): no device
+        programs, no transfers — parity with the reference's CPU verifier
+        (10.9-529 ms, README.md:39-56)."""
+        from ...utils.npfield import NpField
+
         be = self.be
         spec = be.spec
         p = spec.p
+        npf = NpField.for_spec(spec)
         transcript = TranscriptReader(spec, proof)
 
         ct0is_dense = []
@@ -603,7 +612,7 @@ class BfvEncrypt:
             ct0is_dense.extend(ct0i[1:] + [0])
         transcript.common_felts(ct0is_dense)
         point = transcript.squeeze_challenges(self.ct0is_log2_size())
-        ct0is_value = mle.evaluate(be, be.from_ints(ct0is_dense), point)
+        ct0is_value = npf.mle_eval_ints(ct0is_dense, point)
         output_claims = [([], spec.zero), (point, ct0is_value)]
 
         circuit = self._circuit(vk)
@@ -612,9 +621,9 @@ class BfvEncrypt:
         transcript.assert_consumed()
 
         for dense, claims in zip(inputs_dense, input_claims):
-            dev = be.from_ints(dense)
+            tab = npf.base.from_ints(dense)
             for pt, val in claims:
-                if mle.evaluate(be, dev, pt) != spec._c(val):
+                if npf.mle_eval_ints(tab, pt) != spec._c(val):
                     raise ValueError("bfv: input claim mismatch")
         return True
 

@@ -1,0 +1,285 @@
+"""Vectorized host (numpy) field arithmetic for the fast verifier.
+
+The verifier must run WITHOUT any device round trip: over the TPU tunnel a
+single dispatch+transfer costs 10-100 ms, and the round-2 device-assisted
+verifier spent ~5 s on ~50 of them (VERDICT r2 #3). The reference verifies
+on a laptop CPU in ~10 ms (README.md:39-56) using closed-form wiring
+predicates; this module supplies the dense-evaluation counterpart: fast
+numpy field vectors for eq tables, MLE evaluations and DFT-row tables.
+
+Two backends:
+- Goldilocks: u64 arrays with 32-bit-split multiplication and the
+  2^64 = 2^32 - 1 reduction; GL2 as coefficient pairs (w^2 = 7).
+- Generic odd prime (BN254 Fr): object-dtype arrays of Python ints —
+  numpy's C loop over PyLong ops; ~10x slower per element but still far
+  below one tunnel round trip for the sizes verified here.
+
+Ext vectors are tuples of `ext_degree` base arrays. Host scalars follow
+fields.FieldSpec conventions (ext = tuple of ints).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import FieldSpec
+
+_M32 = np.uint64(0xFFFFFFFF)
+_S32 = np.uint64(32)
+GL_P = (1 << 64) - (1 << 32) + 1
+_GLP = np.uint64(GL_P)
+
+
+class _GLOps:
+    """Goldilocks base-field ops on u64 numpy arrays (canonical values)."""
+
+    p = GL_P
+
+    @staticmethod
+    def from_ints(xs) -> np.ndarray:
+        a = np.asarray(
+            [int(x) % GL_P for x in xs] if not isinstance(xs, np.ndarray) else xs,
+            dtype=np.uint64,
+        )
+        return a
+
+    @staticmethod
+    def add(a, b):
+        s = a + b  # may wrap mod 2^64; wrapped => true value = s + 2^32 - 1
+        s = np.where(s < a, s + _M32, s)
+        return np.where(s >= _GLP, s - _GLP, s)
+
+    @staticmethod
+    def sub(a, b):
+        d = a - b  # may wrap; wrapped => true value = d - (2^32 - 1)
+        d = np.where(a < b, d - _M32, d)
+        return np.where(d >= _GLP, d - _GLP, d)
+
+    @staticmethod
+    def mul(a, b):
+        a0 = a & _M32
+        a1 = a >> _S32
+        b0 = b & _M32
+        b1 = b >> _S32
+        ll = a0 * b0
+        hh = a1 * b1
+        lh = a0 * b1
+        hl = a1 * b0
+        mid = lh + hl
+        c1 = (mid < lh).astype(np.uint64)  # mid wrapped: adds 2^64 => hi += 2^32
+        t = ll + (mid << _S32)
+        c2 = (t < ll).astype(np.uint64)
+        lo = t
+        hi = hh + (mid >> _S32) + (c1 << _S32) + c2
+        # x = lo + hi*2^64; 2^64 = 2^32-1, 2^96 = -1 (mod p)
+        h0 = hi & _M32
+        h1 = hi >> _S32
+        t0 = lo - h1
+        t0 = np.where(lo < h1, t0 - _M32, t0)  # borrow: -2^64 = -(2^32-1)
+        t0 = np.where(t0 >= _GLP, t0 - _GLP, t0)
+        t1 = h0 * _M32  # < 2^64
+        s = t0 + t1
+        w = s < t0
+        s = np.where(w, s + _M32, s)
+        s = np.where(s >= _GLP, s - _GLP, s)
+        return s
+
+    @staticmethod
+    def neg(a):
+        return np.where(a == 0, a, _GLP - a)
+
+    @classmethod
+    def scale(cls, a, c: int):
+        return cls.mul(a, np.uint64(c % GL_P))
+
+    @staticmethod
+    def zeros(n):
+        return np.zeros(n, dtype=np.uint64)
+
+    @staticmethod
+    def full(n, v: int):
+        return np.full(n, v % GL_P, dtype=np.uint64)
+
+    @staticmethod
+    def sum(a) -> int:
+        # column sums fit u64 for n <= 2^31
+        lo = int(np.sum(a & _M32, dtype=np.uint64))
+        hi = int(np.sum(a >> _S32, dtype=np.uint64))
+        return (lo + (hi << 32)) % GL_P
+
+    @staticmethod
+    def to_ints(a):
+        return [int(x) for x in a]
+
+
+class _ObjOps:
+    """Any-prime base-field ops on object-dtype numpy arrays."""
+
+    def __init__(self, p: int):
+        self.p = p
+
+    def from_ints(self, xs):
+        return np.array([int(x) % self.p for x in xs], dtype=object)
+
+    def add(self, a, b):
+        return (a + b) % self.p
+
+    def sub(self, a, b):
+        return (a - b) % self.p
+
+    def mul(self, a, b):
+        return (a * b) % self.p
+
+    def neg(self, a):
+        return (-a) % self.p
+
+    def scale(self, a, c: int):
+        return (a * (c % self.p)) % self.p
+
+    def zeros(self, n):
+        return np.zeros(n, dtype=object)
+
+    def full(self, n, v: int):
+        return np.full(n, v % self.p, dtype=object)
+
+    def sum(self, a) -> int:
+        return int(a.sum()) % self.p
+
+    @staticmethod
+    def to_ints(a):
+        return [int(x) for x in a]
+
+
+class NpField:
+    """Ext-field vector ops for one FieldSpec (host verifier workhorse)."""
+
+    _CACHE: dict = {}
+
+    def __init__(self, spec: FieldSpec):
+        self.spec = spec
+        self.base = _GLOps() if spec.p == GL_P else _ObjOps(spec.p)
+        self.deg = spec.ext_degree
+        self.w = spec.ext_nonresidue
+
+    @classmethod
+    def for_spec(cls, spec: FieldSpec) -> "NpField":
+        f = cls._CACHE.get(spec.name)
+        if f is None:
+            f = cls._CACHE[spec.name] = cls(spec)
+        return f
+
+    # ----- ext vectors: tuples of `deg` base arrays -----
+
+    def ext_zeros(self, n):
+        return tuple(self.base.zeros(n) for _ in range(self.deg))
+
+    def ext_splat(self, n, c) -> tuple:
+        c = self.spec._c(c)
+        return tuple(self.base.full(n, ci) for ci in c)
+
+    def ext_from_tuples(self, xs) -> tuple:
+        cs = [self.spec._c(x) for x in xs]
+        return tuple(
+            self.base.from_ints([c[i] for c in cs]) for i in range(self.deg)
+        )
+
+    def lift(self, a) -> tuple:
+        """Base array -> ext tuple."""
+        if isinstance(a, tuple):
+            return a
+        return (a,) + tuple(self.base.zeros(a.shape[0]) for _ in range(self.deg - 1))
+
+    def eadd(self, a, b):
+        return tuple(self.base.add(x, y) for x, y in zip(a, b))
+
+    def esub(self, a, b):
+        return tuple(self.base.sub(x, y) for x, y in zip(a, b))
+
+    def emul(self, a, b):
+        if self.deg == 1:
+            return (self.base.mul(a[0], b[0]),)
+        assert self.deg == 2
+        m = self.base.mul
+        t0 = m(a[0], b[0])
+        t1 = m(a[1], b[1])
+        t2 = m(a[0], b[1])
+        t3 = m(a[1], b[0])
+        return (
+            self.base.add(t0, self.base.scale(t1, self.w)),
+            self.base.add(t2, t3),
+        )
+
+    def emul_base(self, a, b):
+        """ext tuple * base array, coefficient-wise."""
+        return tuple(self.base.mul(x, b) for x in a)
+
+    def esum(self, a) -> tuple:
+        return self.spec.ext(*[self.base.sum(x) for x in a])
+
+    # ----- verifier kernels -----
+
+    def eq_table(self, point) -> tuple:
+        """eq(point, x) over x in [0, 2^v), LSB-first, via doubling:
+        total mults ~2^v (not 2^v * v)."""
+        v = len(point)
+        t = self.ext_splat(1, self.spec.one)
+        for j in range(v):
+            r = self.ext_splat(1 << j, point[j])
+            hi = self.emul(t, r)
+            lo = self.esub(t, hi)  # t*(1-r)
+            t = tuple(np.concatenate([l_, h_]) for l_, h_ in zip(lo, hi))
+        return t
+
+    def mle_eval_ints(self, dense, point) -> tuple:
+        """<eq(point), dense> for a base-int table (list or base array)."""
+        tab = (
+            dense
+            if isinstance(dense, np.ndarray)
+            else self.base.from_ints(dense)
+        )
+        n = tab.shape[0]
+        assert n == 1 << len(point)
+        eq = self.eq_table(point)
+        return self.esum(self.emul_base(eq, tab))
+
+    def d_table(self, points, alphas, logl: int, inverse: bool) -> tuple:
+        """alpha-combined DFT-row MLE table (ops/ntt.dft_row_mle parity):
+        d(j) = sum_i alpha_i * prod_b ((1-r_ib) + r_ib * w^(j 2^b)),
+        1/L-scaled for inverse. Built by bit-doubling: factor b depends on
+        j mod 2^(logl-b), so the partial product over b >= k is a table of
+        size 2^(logl-k) — total mults ~2*2^logl per point."""
+        p = self.spec.p
+        L = 1 << logl
+        w = self.spec.root_of_unity(L)
+        if inverse:
+            w = pow(w, p - 2, p)
+        # wpow[j] = w^j
+        wp = [1] * L
+        for j in range(1, L):
+            wp[j] = wp[j - 1] * w % p
+        wtab = self.base.from_ints(wp)
+        acc = None
+        for pt, al in zip(points, alphas):
+            # build from b = logl-1 (table of size 2) down to b = 0
+            t = self.ext_splat(1, self.spec.one)
+            for b in range(logl - 1, -1, -1):
+                size = 1 << (logl - b)
+                # factor_b(j) = (1 - r_b) + r_b * w^(j*2^b) for j in [0, size)
+                idx = (np.arange(size, dtype=np.int64) << b) % L
+                wb = wtab[idx]
+                r = self.ext_splat(size, pt[b])
+                one_minus = self.esub(self.ext_splat(size, self.spec.one), r)
+                f = self.eadd(one_minus, self.emul_base(r, wb))
+                # expand t (period size/2) to size and multiply
+                te = tuple(np.tile(x, 2) for x in t)
+                t = self.emul(te, f)
+            term = self.emul(t, self.ext_splat(L, al))
+            acc = term if acc is None else self.eadd(acc, term)
+        if inverse:
+            linv = pow(L, p - 2, p)
+            acc = self.emul_base(acc, self.base.full(L, linv))
+        return acc
+
+    def dot_ext(self, a, b) -> tuple:
+        """<a, b> for two ext vectors."""
+        return self.esum(self.emul(a, b))
