@@ -53,7 +53,7 @@ CONFIGS = {
     "bn4096": ("bn254", C.SK_ENC_4096_2x55, 0.2322, 0.575, 0.0163),
 }
 
-DEFAULT = "gl1024,gl2048,gl4096,gl8192,bn1024,gl32768"
+DEFAULT = "gl1024,gl2048,gl4096,gl8192,gl16384,gl32768,bn1024"
 
 
 def _load_args(field: str, params) -> dict:
@@ -97,12 +97,14 @@ def run_config(key: str) -> dict:
     witness_s = time.time() - t0
 
     # warmup: trace + compile (persistent-cache backed); fall back to the
-    # host-transcript prover if the device-resident path fails
-    device = True
+    # host-transcript prover if the device-resident path fails — the fallback
+    # is RECORDED (path + error), never silent
+    device, fallback_error = True, None
     try:
         bfv.prove(args, pk, device=device)
-    except Exception:
+    except Exception as e:
         device = False
+        fallback_error = f"{type(e).__name__}: {e}"[:300]
         bfv.prove(args, pk, device=device)
     t0 = time.time()
     proof = bfv.prove(args, pk, device=device)
@@ -113,15 +115,19 @@ def run_config(key: str) -> dict:
     assert bfv.verify(vk, inputs_dense, args["ct0is"], proof)
     verify_s = time.time() - t0
 
-    return {
+    out = {
         "witness_s": round(witness_s, 4),
         "prove_s": round(prove_s, 4),
         "verify_s": round(verify_s, 4),
         "proof_bytes": len(proof),
+        "path": "device" if device else "host",
         "vs_baseline_witness": round(b_wit / witness_s, 4),
         "vs_baseline_prove": round(b_prove / prove_s, 4),
         "vs_baseline_verify": round(b_verify / verify_s, 4),
     }
+    if fallback_error:
+        out["device_path_error"] = fallback_error
+    return out
 
 
 def main():

@@ -29,45 +29,62 @@ def gp_tree_build(be: Backend, leaves):
     """Traceable product-tree build over m equal-length [2^v] leaf vectors
     (base or ext). Returns (LVL [n_lvl, 2m, buf] stacked ext layer buffers
     — index j <-> layer l = v-1-j, L/R interleaved per instance and
-    pre-padded to the shared buf = 2^(v-1) — plus w1: m [2] ext vectors).
+    zero-padded to the shared buf = 2^(v-1) — plus w1: m [2] ext vectors).
 
-    Kept SEPARATE from the layer-sumcheck loop: fusing the v-level unrolled
-    build (a stack of v big fused mul chains) into the same program as the
-    loop explodes XLA compile time (verify-skill hazard 8)."""
+    Levels below the first run as a lax.scan (dynamic-shift halving, same
+    trick as the sumcheck round fold): the round-2 unrolled build compiled
+    to 40 MB of TPU code per instance count, which blew the device code
+    arena and made EVERY dispatch re-upload executables over the tunnel.
+
+    Kept SEPARATE from the layer-sumcheck loop: fusing the build into the
+    loop program explodes XLA compile time (verify-skill hazard 8)."""
+    from .sumcheck import _shift_cols
+
     m = len(leaves)
     v = mle.num_vars(be, leaves[0])
     buf = 1 << max(v - 1, 1)
+    cur = jax.tree.map(
+        lambda *rows: jnp.stack(rows), *[be.lift(T) for T in leaves]
+    )  # [m, 2^v] ext
+    if v == 1:
+        return None, [be.index(cur, i) for i in range(m)]
 
-    def pad(T, size):
-        if size == buf:
-            return T
-        return jax.tree.map(
-            lambda a: jnp.concatenate(
-                [a, jnp.zeros((buf - size,), dtype=a.dtype)]
-            ),
-            T,
+    # layer 0 (full width): static halves split
+    L0 = jax.tree.map(lambda a: a[:, :buf], cur)
+    R0 = jax.tree.map(lambda a: a[:, buf:], cur)
+    layer0 = jax.tree.map(
+        lambda l, r: jnp.stack([l, r], axis=1).reshape(2 * m, buf), L0, R0
+    )
+    cur = be.mul(L0, R0)  # [m, buf]
+
+    n_lvl = v - 1
+    if n_lvl > 1:
+        x = jnp.arange(buf, dtype=jnp.int32)
+
+        def body(cur, j):
+            half = jnp.int32(buf) >> j
+            R = _shift_cols(cur, half, buf)
+            act = (x < half)[None, :]
+            zero = be.ext.zeros((m, buf))
+            Lm = be.select(act, cur, zero)
+            Rm = be.select(act, R, zero)
+            layer = jax.tree.map(
+                lambda l, r: jnp.stack([l, r], axis=1).reshape(2 * m, buf),
+                Lm, Rm,
+            )
+            return be.select(act, be.mul(cur, R), zero), layer
+
+        cur, rest = jax.lax.scan(
+            body, cur, jnp.arange(1, n_lvl, dtype=jnp.int32)
         )
-
-    layers = []
-    cur = [be.lift(T) for T in leaves]
-    size = 1 << v
-    while size > 2:
-        half = size // 2
-        Ls = [jax.tree.map(lambda a: a[:half], T) for T in cur]
-        Rs = [jax.tree.map(lambda a: a[half:], T) for T in cur]
-        inter = []
-        for L, R in zip(Ls, Rs):
-            inter.append(pad(L, half))
-            inter.append(pad(R, half))
-        layers.append(jax.tree.map(lambda *rows: jnp.stack(rows), *inter))
-        cur = [be.mul(be.fusion_break(L), be.fusion_break(R))
-               for L, R in zip(Ls, Rs)]
-        size = half
-    if layers:
-        LVL = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+        LVL = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b]), layer0, rest
+        )
     else:
-        LVL = None
-    return LVL, cur
+        LVL = jax.tree.map(lambda a: a[None], layer0)
+    # active prefix of cur is now exactly 2 columns
+    w1 = [jax.tree.map(lambda a, i=i: a[i, :2], cur) for i in range(m)]
+    return LVL, w1
 
 
 def gp_layer_rounds(be: Backend, LVL, w1, v: int, dtx):

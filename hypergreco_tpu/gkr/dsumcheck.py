@@ -32,8 +32,6 @@ from .sumcheck import (
     _eval_points,
     _expr_layout,
     _kinds,
-    _rows,
-    _shift_cols,
     _stack_jit,
     SumcheckExpr,
 )
@@ -85,13 +83,66 @@ def digest_scalar(be: Backend, prod):
     return be.ext_cls(*coeffs)
 
 
+def _field_sum_rows(be: Backend, x, m: int):
+    """Row-wise field sum of a [P, m] element -> [P], halving on axis 1."""
+    M = 1 << (m - 1).bit_length() if m > 1 else 1
+    if M != m:
+        pad = be.zeros((jax.tree.leaves(x)[0].shape[0], M - m),
+                       ext=be._mod(x) is be.ext)
+        x = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=1), x, pad
+        )
+    while M > 1:
+        lo = jax.tree.map(lambda a: a[:, : M // 2], x)
+        hi = jax.tree.map(lambda a: a[:, M // 2 :], x)
+        x = be.add(lo, hi)
+        M //= 2
+    return jax.tree.map(lambda a: a[:, 0], x)
+
+
+def digest_batch(be: Backend, prod, npts: int):
+    """Masked [P, b, N] field vector -> [P] field element, on device.
+
+    The batched twin of digest_scalar: one reduction program for every
+    round-polynomial eval point (the per-point unroll emitted the full
+    digest machinery deg+1 times and dominated the round program's code
+    size — see keccak_f's docstring for why code size is the TPU-tunnel
+    bottleneck)."""
+    def leaf(a):
+        a = a.reshape(npts, -1)
+        n = a.shape[1]
+        # chunk length: largest power-of-two divisor of n, capped at
+        # _DIGEST_CHUNK (keeps 16-bit-half column sums below 2^32)
+        clen = min(be._DIGEST_CHUNK, n & -n)
+        a = a.reshape(npts, n // clen, clen)
+        lo = jnp.sum(a & 0xFFFF, axis=2, dtype=jnp.uint32)
+        hi = jnp.sum(a >> 16, axis=2, dtype=jnp.uint32)
+        return lo, hi  # [P, m] each
+
+    leaves = jax.tree.leaves(prod)
+    nl = be.limbs_per_base
+    coeffs = []
+    for i in range(0, len(leaves), nl):
+        acc = None
+        for j in range(nl):
+            lo, hi = leaf(leaves[i + j])
+            m = lo.shape[1]
+            limb = be.base.add(
+                be.from_u32(lo), be.base.scale(be.from_u32(hi), 1 << 16)
+            )
+            s = _field_sum_rows(be, limb, m)
+            if j:
+                s = be.base.scale(s, (1 << (32 * j)) % be.spec.p)
+            acc = s if acc is None else be.base.add(acc, s)
+        coeffs.append(acc)
+    if len(coeffs) == 1:
+        return coeffs[0]
+    return be.ext_cls(*coeffs)
+
+
 def _stack_scalars(be: Backend, scalars):
     """List of 0-d ext elements -> [n] ext device vector."""
     return jax.tree.map(lambda *xs: jnp.stack(xs), *scalars)
-
-
-def _zero_ext(be: Backend):
-    return be.zeros((), ext=True)
 
 
 def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
@@ -110,55 +161,70 @@ def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
 
     chal0 = be.zeros((logn,), ext=True)
 
+    npts = len(ts)
+    # eval points as a [P, 1, 1] field broadcast: T_t = stk + t * diffs is
+    # computed for ALL points in one batched expression, so the term-product
+    # and digest code is emitted ONCE instead of deg+1 times (the unrolled
+    # form made this program ~11 MB of TPU code — see keccak_f's docstring
+    # for why executable size is the TPU-tunnel bottleneck)
+    tdev = be.reshape(be.from_ints(list(ts), ext=True), (npts, 1, 1))
+
+    # Compaction fold, all-static slices: LSB-first binding pairs adjacent
+    # elements (2i, 2i+1) — even/odd stride-2 slices — and the fold writes
+    # the compacted half back to the buffer front (zero tail). No dynamic
+    # gathers: the round-2 stride-fold's 3 traced-shift gathers per round
+    # dominated this program's generated code (~7 of 11 MB).
+    x = jnp.arange(N // 2, dtype=jnp.int32) if N > 1 else jnp.zeros(
+        (1,), jnp.int32
+    )
+
     def body(j, carry):
-        stk, dtx, r, chal = carry
-        sc = jnp.left_shift(jnp.int32(1), j)
-        # entry fold with stride sc//2 binds the previous round's variable;
-        # round 0: stride 0 (identity gather) and r = 0 -> no-op
-        hi0 = _shift_cols(stk, sc >> 1, N)
-        stk = be.add(stk, be.mul(r, be.sub(hi0, stk)))
-        his = _shift_cols(stk, sc, N)
-        diffs = be.sub(his, stk)
-        x = jnp.arange(N, dtype=jnp.int32)
-        mask = (((x & (2 * sc - 1)) == 0) & (x < l_act))[None, :]
-        evals = []
-        cur = his
-        for t in ts:
-            if t == 0:
-                tabs = stk
-            else:
-                cur = be.add(cur, diffs)
-                tabs = cur
-            acc = None
-            for lo_i in range(0, nterms, _TERM_BLOCK):
-                sl = slice(lo_i, min(lo_i + _TERM_BLOCK, nterms))
-                prod = _rows(tabs, fidx[0][sl])
-                for k in range(1, degree):
-                    prod = be.mul(prod, _rows(tabs, fidx[k][sl]))
-                ci_blk = cidx[sl]
-                cs = jax.tree.map(lambda a: a[ci_blk, None], cdev)
-                prod = be.mul(prod, cs)
-                b = sl.stop - sl.start
-                prod = be.select(mask, prod, be.ext.zeros((b, N)))
-                d = digest_scalar(be, prod)
-                acc = d if acc is None else be.add(acc, d)
-            evals.append(acc)
-        ev = _stack_scalars(be, evals)
+        stk, dtx, chal = carry
+        even = jax.tree.map(lambda a: a[..., 0::2], stk)  # [T+1, N/2]
+        odd = jax.tree.map(lambda a: a[..., 1::2], stk)
+        diffs = be.sub(odd, even)
+        # pairs active this round: l_act >> (j+1)
+        mask = (x < jnp.maximum(l_act >> (j + 1), 1))[None, None, :]
+        TB = be.add(
+            jax.tree.map(lambda a: a[None], even),
+            be.mul(tdev, jax.tree.map(lambda a: a[None], diffs)),
+        )  # [P, T+1, N/2]
+        acc = None
+        for lo_i in range(0, nterms, _TERM_BLOCK):
+            sl = slice(lo_i, min(lo_i + _TERM_BLOCK, nterms))
+            prod = jax.tree.map(lambda a: a[:, fidx[0][sl], :], TB)
+            for k in range(1, degree):
+                prod = be.mul(
+                    prod, jax.tree.map(lambda a: a[:, fidx[k][sl], :], TB)
+                )
+            ci_blk = cidx[sl]
+            cs = jax.tree.map(lambda a: a[None, ci_blk, None], cdev)
+            prod = be.mul(prod, cs)
+            b = sl.stop - sl.start
+            prod = be.select(mask, prod, be.ext.zeros((npts, b, N // 2)))
+            d = digest_batch(be, prod, npts)
+            acc = d if acc is None else be.add(acc, d)
+        ev = acc  # [P] ext, in ts order
         dtx = dt.write_ext(be, dtx, ev)
         r, dtx = dt.squeeze_challenge(be, dtx)
-        chal = jax.tree.map(
-            lambda c, rv: c.at[j].set(rv), chal, r
+        folded = be.add(even, be.mul(r, diffs))  # [T+1, N/2]
+        # zero-pad back to [T+1, N] via the HLO pad op — a concatenate here
+        # explodes XLA:CPU's fusion-emitter compile time inside fori_loop
+        # bodies (measured 57 s at logl=9; hazard 8)
+        stk = jax.tree.map(
+            lambda f: jnp.pad(
+                f, [(0, 0)] * (f.ndim - 1) + [(0, f.shape[-1])]
+            ),
+            folded,
         )
-        return stk, dtx, r, chal
+        chal = jax.tree.map(lambda c, rv: c.at[j].set(rv), chal, r)
+        return stk, dtx, chal
 
-    stk, dtx, r, chal = jax.lax.fori_loop(
-        0, v, body, (stk, dtx, _zero_ext(be), chal0)
-    )
-    # final fold: active pair at columns 0 and l_act/2
-    s = jnp.maximum(l_act >> 1, 1)
-    e = jax.tree.map(lambda a: a[:num_tables, 0], stk)
-    o = jax.tree.map(lambda a: a[:num_tables, s], stk)
-    final = be.add(e, be.mul(r, be.sub(o, e)))
+    if N > 1:
+        stk, dtx, chal = jax.lax.fori_loop(0, v, body, (stk, dtx, chal0))
+    else:
+        chal = chal0
+    final = jax.tree.map(lambda a: a[:num_tables, 0], stk)
     return chal, final, dtx
 
 

@@ -242,7 +242,14 @@ _MESH_REG = {}
 
 
 def _mesh_key(mesh):
-    key = (tuple(mesh.axis_names), mesh.devices.shape, id(mesh))
+    """Structural mesh identity: two meshes over the same devices with the
+    same axes share compiled programs (keying on id(mesh) forced a full
+    recompile for every caller that constructed its own mesh)."""
+    key = (
+        tuple(mesh.axis_names),
+        mesh.devices.shape,
+        tuple(d.id for d in mesh.devices.flat),
+    )
     _MESH_REG[key] = mesh
     return key
 

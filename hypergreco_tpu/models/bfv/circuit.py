@@ -559,10 +559,12 @@ class BfvEncrypt:
                 values = circuit.evaluate(inputs)
 
         with span("GKR prove (device)"):
-            # proof-felt capacity: GL 1024_1x27 is ~23k lanes; scale with
-            # the output size and leave generous headroom (overflow is
-            # detected in log_to_proof)
-            cap = max(1 << 16, 64 << self.ct0is_log2_size())
+            # proof-felt capacity: measured 3,632 lanes at GL 1024_1x27 and
+            # ~10-15k estimated at 32768_16x59 (rounds grow ~log-linearly),
+            # so a flat 2^17 covers every config with ~10x margin — the old
+            # `64 << ct0is_log2_size` heuristic would have allocated 537 MB
+            # log buffers at n=32768. Overflow is detected in fetch_proof.
+            cap = 1 << 17
             if not hasattr(self, "_dpoint_jit"):
                 v = self.ct0is_log2_size()
 

@@ -80,32 +80,54 @@ def _rotl64_vec(lo, hi, m, swap, m0, ms):
     return olo, ohi
 
 
+_RC_LO = np.asarray([rc & 0xFFFFFFFF for rc in _RC], dtype=np.uint32)
+_RC_HI = np.asarray([rc >> 32 for rc in _RC], dtype=np.uint32)
+
+
+def _keccak_round(lo, hi, rcl, rch):
+    """One keccak-f round; rcl/rch: uint32 scalars (iota constant)."""
+    # theta
+    l5 = lo.reshape(5, 5)
+    h5 = hi.reshape(5, 5)
+    bcl = l5[0] ^ l5[1] ^ l5[2] ^ l5[3] ^ l5[4]
+    bch = h5[0] ^ h5[1] ^ h5[2] ^ h5[3] ^ h5[4]
+    r1l = (bcl << 1) | (bch >> 31)
+    r1h = (bch << 1) | (bcl >> 31)
+    tl = jnp.roll(bcl, 1) ^ jnp.roll(r1l, -1)
+    th = jnp.roll(bch, 1) ^ jnp.roll(r1h, -1)
+    lo = lo ^ jnp.tile(tl, 5)
+    hi = hi ^ jnp.tile(th, 5)
+    # rho (per-lane rot) + pi (lane permutation)
+    rl, rh = _rotl64_vec(lo, hi, _RHO_M, _RHO_SWAP, _RHO_M0, _RHO_MS)
+    lo = rl[_PI_SRC]
+    hi = rh[_PI_SRC]
+    # chi
+    l5 = lo.reshape(5, 5)
+    h5 = hi.reshape(5, 5)
+    lo = (l5 ^ ((~jnp.roll(l5, -1, axis=1)) & jnp.roll(l5, -2, axis=1))).reshape(25)
+    hi = (h5 ^ ((~jnp.roll(h5, -1, axis=1)) & jnp.roll(h5, -2, axis=1))).reshape(25)
+    # iota
+    lo = lo.at[0].set(lo[0] ^ rcl)
+    hi = hi.at[0].set(hi[0] ^ rch)
+    return lo, hi
+
+
 def keccak_f(lo, hi):
-    """One keccak-f[1600] permutation on uint32[25] lane planes."""
-    for rc in _RC:
-        # theta
-        l5 = lo.reshape(5, 5)
-        h5 = hi.reshape(5, 5)
-        bcl = l5[0] ^ l5[1] ^ l5[2] ^ l5[3] ^ l5[4]
-        bch = h5[0] ^ h5[1] ^ h5[2] ^ h5[3] ^ h5[4]
-        r1l = (bcl << 1) | (bch >> 31)
-        r1h = (bch << 1) | (bcl >> 31)
-        tl = jnp.roll(bcl, 1) ^ jnp.roll(r1l, -1)
-        th = jnp.roll(bch, 1) ^ jnp.roll(r1h, -1)
-        lo = lo ^ jnp.tile(tl, 5)
-        hi = hi ^ jnp.tile(th, 5)
-        # rho (per-lane rot) + pi (lane permutation)
-        rl, rh = _rotl64_vec(lo, hi, _RHO_M, _RHO_SWAP, _RHO_M0, _RHO_MS)
-        lo = rl[_PI_SRC]
-        hi = rh[_PI_SRC]
-        # chi
-        l5 = lo.reshape(5, 5)
-        h5 = hi.reshape(5, 5)
-        lo = (l5 ^ ((~jnp.roll(l5, -1, axis=1)) & jnp.roll(l5, -2, axis=1))).reshape(25)
-        hi = (h5 ^ ((~jnp.roll(h5, -1, axis=1)) & jnp.roll(h5, -2, axis=1))).reshape(25)
-        # iota
-        lo = lo.at[0].set(lo[0] ^ np.uint32(rc & 0xFFFFFFFF))
-        hi = hi.at[0].set(hi[0] ^ np.uint32(rc >> 32))
+    """One keccak-f[1600] permutation on uint32[25] lane planes.
+
+    The 24 rounds run as a lax.scan over the iota constants: an unrolled
+    permutation compiled to 2.87 MB of TPU code PER INLINE SITE, and the
+    prover's ~22 programs with several sites each totalled ~600 MB of
+    executable — past the device code arena, so every dispatch re-uploaded
+    executables over the TPU tunnel (~83 ms per dispatch; measured, see
+    scratch/t_poison*.py history)."""
+
+    def body(carry, rc):
+        return _keccak_round(carry[0], carry[1], rc[0], rc[1]), None
+
+    (lo, hi), _ = jax.lax.scan(
+        body, (lo, hi), (jnp.asarray(_RC_LO), jnp.asarray(_RC_HI))
+    )
     return lo, hi
 
 

@@ -24,9 +24,12 @@ FIXTURE = (
     "/root/reference/bfv-gkr/src/data/goldilocks/sk_enc_1024_1x27_65537.json"
 )
 
-pytestmark = pytest.mark.skipif(
-    not os.path.exists(FIXTURE), reason="reference fixture not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not os.path.exists(FIXTURE), reason="reference fixture not mounted"
+    ),
+    pytest.mark.slow,
+]
 
 SLOW = os.environ.get("HYPERGRECO_SLOW") == "1"
 

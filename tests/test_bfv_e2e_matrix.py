@@ -20,9 +20,12 @@ from hypergreco_tpu.models.bfv.circuit import BfvEncrypt, load_witness_json
 DATA = "/root/reference/bfv-gkr/src/data/goldilocks"
 
 SLOW = os.environ.get("HYPERGRECO_SLOW") == "1"
-pytestmark = pytest.mark.skipif(
-    not SLOW, reason="full-scale e2e proves; set HYPERGRECO_SLOW=1"
-)
+pytestmark = [
+    pytest.mark.skipif(
+        not SLOW, reason="full-scale e2e proves; set HYPERGRECO_SLOW=1"
+    ),
+    pytest.mark.slow,
+]
 
 FIXTURE_CONFIGS = [
     C.SK_ENC_2048_1x52,

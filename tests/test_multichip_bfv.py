@@ -15,6 +15,8 @@ from jax.sharding import Mesh
 from hypergreco_tpu.models.bfv.circuit import BfvEncrypt
 from hypergreco_tpu.models.bfv.witness_gen import generate_witness
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_setup():
