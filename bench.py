@@ -1,20 +1,31 @@
 #!/usr/bin/env python
 """Benchmark: BFV sk-encryption setup/witness/prove/verify across configs.
 
-Prints ONE JSON line:
+Prints ONE JSON line per completed config (each a full, cumulative headline):
   {"metric": ..., "value": N, "unit": "s", "vs_baseline": N, "configs": {...}}
+The LAST printed line is the final result. Lines are flushed immediately, so
+even if the process is killed mid-run the most recent line is a complete,
+parseable headline covering every config measured so far.
 
 - headline metric = Goldilocks 1024_1x27 steady-state prove time;
   vs_baseline = reference_time / our_time (>1 = faster than the reference's
   Apple M1 numbers, BASELINE.md / README.md:39-56).
 - "configs" holds per-config {witness_s, prove_s, verify_s, proof_bytes,
-  vs_baseline_prove} for every config that fit in the time budget
-  (HYPERGRECO_BENCH_BUDGET seconds, default 2700). Partial results are
-  flushed to BENCH_PARTIAL.json after every config.
+  vs_baseline_*} for every config that fit the budget.
 
-Config list: HYPERGRECO_BENCH_CONFIGS, comma-separated, default
-"gl1024,gl2048,gl4096,gl8192,bn1024,gl32768". Reference fixtures are used
-when mounted; otherwise witnesses come from the native generator.
+Isolation: each config runs in its OWN subprocess under a hard wall-clock
+cap (HYPERGRECO_BENCH_CONFIG_TIMEOUT, default 900 s) so a hung compile or a
+tunnel failure can never eat the whole window — the parent always exits 0
+with whatever completed (the round-1..3 driver benches all died rc=124 with
+zero output because one in-process config stalled past the driver's clock).
+Compiled programs are shared between subprocesses via the persistent JAX
+compilation cache (runtime.init), so isolation costs only process startup.
+
+Config list: HYPERGRECO_BENCH_CONFIGS, comma-separated, default orders
+cheapest-compile-first. Overall budget: HYPERGRECO_BENCH_BUDGET seconds
+(default 2400); remaining configs are skipped (recorded) once exceeded.
+Reference fixtures are used when mounted; otherwise witnesses come from the
+native generator (cached under fixtures/).
 
 Measures steady-state proving (second run in-process: compiled programs and
 wiring caches warm — the serving configuration) on whatever device jax
@@ -23,48 +34,40 @@ selects (real TPU under axon; CPU otherwise).
 
 import json
 import os
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from hypergreco_tpu import runtime
-
-runtime.init()
-
-import jax
-
-from hypergreco_tpu.models.bfv import constants as C
-from hypergreco_tpu.models.bfv.circuit import BfvEncrypt, load_witness_json
-from hypergreco_tpu.ops.fe import get_backend
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 DATA = "/root/reference/bfv-gkr/src/data"
 
-# (key, field, params, baseline {witness, prove, verify} seconds — README.md)
+# (key, field, params-name, baseline {witness, prove, verify} s — README.md)
 CONFIGS = {
-    "gl1024": ("goldilocks", C.SK_ENC_1024_1x27, 0.00723, 0.103, 0.0109),
-    "gl2048": ("goldilocks", C.SK_ENC_2048_1x52, 0.0119, 0.159, 0.00984),
-    "gl4096": ("goldilocks", C.SK_ENC_4096_2x55, 0.02473, 0.265, 0.0108),
-    "gl8192": ("goldilocks", C.SK_ENC_8192_4x55, 0.0815, 0.588, 0.0209),
-    "gl16384": ("goldilocks", C.SK_ENC_16384_8x54, 0.310, 1.51, 0.0849),
-    "gl32768": ("goldilocks", C.SK_ENC_32768_16x59, 1.04, 5.06, 0.1079),
-    "bn1024": ("bn254", C.SK_ENC_1024_1x27, 0.039, 0.236, 0.022),
-    "bn2048": ("bn254", C.SK_ENC_2048_1x52, 0.0778, 0.308, 0.0101),
-    "bn4096": ("bn254", C.SK_ENC_4096_2x55, 0.2322, 0.575, 0.0163),
+    "gl1024": ("goldilocks", "SK_ENC_1024_1x27", 0.00723, 0.103, 0.0109),
+    "gl2048": ("goldilocks", "SK_ENC_2048_1x52", 0.0119, 0.159, 0.00984),
+    "gl4096": ("goldilocks", "SK_ENC_4096_2x55", 0.02473, 0.265, 0.0108),
+    "gl8192": ("goldilocks", "SK_ENC_8192_4x55", 0.0815, 0.588, 0.0209),
+    "gl16384": ("goldilocks", "SK_ENC_16384_8x54", 0.310, 1.51, 0.0849),
+    "gl32768": ("goldilocks", "SK_ENC_32768_16x59", 1.04, 5.06, 0.1079),
+    "bn1024": ("bn254", "SK_ENC_1024_1x27", 0.039, 0.236, 0.022),
+    "bn2048": ("bn254", "SK_ENC_2048_1x52", 0.0778, 0.308, 0.0101),
+    "bn4096": ("bn254", "SK_ENC_4096_2x55", 0.2322, 0.575, 0.0163),
 }
 
-DEFAULT = "gl1024,gl2048,gl4096,gl8192,gl16384,gl32768,bn1024"
+# cheapest compiles first (VERDICT r3 #1a): the expensive shapes can time
+# out without costing the small configs their numbers
+DEFAULT = "gl1024,gl2048,gl4096,gl8192,bn1024,gl16384,gl32768"
 
 
 def _load_args(field: str, params) -> dict:
+    from hypergreco_tpu.models.bfv.circuit import load_witness_json
+
     fixture = os.path.join(DATA, field, params.name + ".json")
     if os.path.exists(fixture):
         return load_witness_json(fixture)
-    cached = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "fixtures",
-        f"{field}_{params.name}.json",
-    )
+    cached = os.path.join(REPO, "fixtures", f"{field}_{params.name}.json")
     if os.path.exists(cached):
         return load_witness_json(cached)
     from hypergreco_tpu.models.bfv.witness_gen import generate_witness
@@ -79,7 +82,18 @@ def _load_args(field: str, params) -> dict:
 
 
 def run_config(key: str) -> dict:
-    field, params, b_wit, b_prove, b_verify = CONFIGS[key]
+    from hypergreco_tpu import runtime
+
+    runtime.init()
+
+    import jax
+
+    from hypergreco_tpu.models.bfv import constants as C
+    from hypergreco_tpu.models.bfv.circuit import BfvEncrypt
+    from hypergreco_tpu.ops.fe import get_backend
+
+    field, pname, b_wit, b_prove, b_verify = CONFIGS[key]
+    params = getattr(C, pname)
     be = get_backend(field)
     args = _load_args(field, params)
     bfv = BfvEncrypt(params, be=be)
@@ -130,26 +144,8 @@ def run_config(key: str) -> dict:
     return out
 
 
-def main():
-    budget = float(os.environ.get("HYPERGRECO_BENCH_BUDGET", "2700"))
-    keys = os.environ.get("HYPERGRECO_BENCH_CONFIGS", DEFAULT).split(",")
-    t_start = time.time()
-    results, errors = {}, {}
-    for key in keys:
-        key = key.strip()
-        if not key:
-            continue
-        if results and time.time() - t_start > budget:
-            errors[key] = "skipped: time budget exhausted"
-            continue
-        try:
-            results[key] = run_config(key)
-        except Exception as e:  # keep earlier configs' numbers
-            errors[key] = f"{type(e).__name__}: {e}"[:300]
-        partial = {"configs": results, "errors": errors}
-        with open("BENCH_PARTIAL.json", "w") as f:
-            json.dump(partial, f, indent=1)
-
+def _emit(results: dict, errors: dict):
+    """Print the cumulative headline JSON line (flushed) + partial file."""
     head = results.get("gl1024")
     out = {
         "metric": "bfv_sk_enc_1024_1x27_goldilocks_prove",
@@ -160,8 +156,57 @@ def main():
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+    with open(os.path.join(REPO, "BENCH_PARTIAL.json"), "w") as f:
+        json.dump({"configs": results, "errors": errors}, f, indent=1)
+
+
+def main():
+    budget = float(os.environ.get("HYPERGRECO_BENCH_BUDGET", "2400"))
+    per_cfg = float(
+        os.environ.get("HYPERGRECO_BENCH_CONFIG_TIMEOUT", "900")
+    )
+    keys = [
+        k.strip()
+        for k in os.environ.get("HYPERGRECO_BENCH_CONFIGS", DEFAULT).split(",")
+        if k.strip()
+    ]
+    t_start = time.time()
+    results, errors = {}, {}
+    for key in keys:
+        remaining = budget - (time.time() - t_start)
+        if results and remaining < 30:
+            errors[key] = "skipped: time budget exhausted"
+            _emit(results, errors)
+            continue
+        cap = min(per_cfg, max(remaining, 60))
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--config", key],
+                capture_output=True,
+                text=True,
+                timeout=cap,
+                cwd=REPO,
+                start_new_session=True,
+            )
+            if proc.returncode == 0:
+                line = proc.stdout.strip().splitlines()[-1]
+                results[key] = json.loads(line)
+            else:
+                tail = (proc.stderr or proc.stdout or "").strip()[-300:]
+                errors[key] = f"rc={proc.returncode}: {tail}"
+        except subprocess.TimeoutExpired:
+            errors[key] = f"timeout after {cap:.0f}s (hard per-config cap)"
+        except Exception as e:
+            errors[key] = f"{type(e).__name__}: {e}"[:300]
+        _emit(results, errors)
+    if not results and not errors:
+        _emit(results, errors)
+    sys.exit(0)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 3 and sys.argv[1] == "--config":
+        print(json.dumps(run_config(sys.argv[2])), flush=True)
+    else:
+        main()

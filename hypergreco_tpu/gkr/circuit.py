@@ -97,11 +97,16 @@ def relay_add_const(w, c: int) -> VanillaGate:
 # ---------------------------------------------------------------------------
 
 
-#: compiled programs shared across STRUCTURALLY IDENTICAL node instances
-#: (same wiring bytes / FFT shape): e.g. the K=16 sai_eval mul nodes and the
-#: K=16 ai_eval FFT nodes each compile once, not 16 times. Keyed by
-#: (spec, node-structure digest, program key); closures over identical
-#: wiring constants trace to identical jaxprs, so sharing is sound.
+#: compiled programs shared across SHAPE-COMPATIBLE node instances: wiring
+#: (coefficients, source indices, constants) is passed as device-array
+#: ARGUMENTS, never embedded as program constants, so one compiled program
+#: serves every node with the same (P, log2_sub, R, G, slot-count) shape
+#: signature — e.g. all K sai_eval mul nodes, all r2is chunk relays, and the
+#: es/k1kis scale nodes share programs. This is the round-4 executable-size
+#: keystone: embedded wiring made single node programs tens of MB (the
+#: gl32768 phase-1 program killed the tunnel compile service, and the device
+#: code arena overflowed so every dispatch re-uploaded executables at
+#: ~33 ms each — scratch/prof_sync_r4.log).
 _PROG_CACHE: dict = {}
 
 
@@ -133,21 +138,6 @@ class InputNode(Node):
 
     def log2_output_size(self) -> int:
         return self.log2_size + (self.num_reps.bit_length() - 1)
-
-
-def _combine_claims(be, claims, transcript):
-    """alpha-RLC of (point, value) claims; returns (points, alphas, value)."""
-    spec = be.spec
-    points = [c[0] for c in claims]
-    values = [spec._c(c[1]) for c in claims]
-    if len(claims) == 1:
-        return points, [spec.one], values[0]
-    alpha = transcript.squeeze_challenge()
-    alphas = [spec.epow(alpha, i) for i in range(len(claims))]
-    combined = spec.zero
-    for a, v in zip(alphas, values):
-        combined = spec.eadd(combined, spec.emul(a, v))
-    return points, alphas, combined
 
 
 @lru_cache(maxsize=None)
@@ -317,16 +307,63 @@ class VanillaNode(Node):
             d = self._digest_val = h.hexdigest()
         return d
 
+    def _shape_sig(self, p=None) -> tuple:
+        """Program-sharing key: everything that shapes the traced program.
+        Wiring VALUES are arguments, so nodes with different wiring but the
+        same signature share one compiled executable."""
+        const, lin, quad = self._build_wiring(p)
+        return (
+            self.P, self.log2_sub, self.R, self.G,
+            len(lin), tuple((sq["pa"], sq["pb"]) for sq in quad),
+        )
+
     def _get_prog(self, be, key, make):
         if key in self._progs:
             return self._progs[key]
-        gkey = (be.spec.name, self._digest(be.spec.p), key)
+        gkey = (be.spec.name, self._shape_sig(be.spec.p), key)
         fn = _PROG_CACHE.get(gkey)
         if fn is None:
             fn = jax.jit(make())
             _PROG_CACHE[gkey] = fn
         self._progs[key] = fn
         return fn
+
+    def _wiring_dev(self, be):
+        """Device-resident wiring (built once per node, uploaded once):
+        field-typed coefficient/constant vectors + int32 index arrays.
+        Passed as ARGUMENTS to the shared programs."""
+        wd = getattr(self, "_wiring_dev_cache", None)
+        if wd is None:
+            const, lin, quad = self._build_wiring(be.spec.p)
+            S = self.S
+            wd = {
+                "const": self._const_vec(be, const),
+                "lin": [
+                    {
+                        "coef": self._const_vec(be, sl["coef"]),
+                        "src": jnp.asarray(sl["src"].astype(np.int32)),
+                    }
+                    for sl in lin
+                ],
+                "quad": [
+                    {
+                        "coef": self._const_vec(be, sq["coef"]),
+                        # local (per-poly) and flat (concat-space) indices
+                        "a": jnp.asarray(
+                            (sq["a"] - sq["pa"] * S).astype(np.int32)
+                        ),
+                        "b": jnp.asarray(
+                            (sq["b"] - sq["pb"] * S).astype(np.int32)
+                        ),
+                        "a_flat": jnp.asarray(sq["a"].astype(np.int32)),
+                        "b_flat": jnp.asarray(sq["b"].astype(np.int32)),
+                    }
+                    for sq in quad
+                ],
+            }
+            jax.block_until_ready(jax.tree.leaves(wd))
+            self._wiring_dev_cache = wd
+        return wd
 
     # ----- static wiring arrays -----
 
@@ -399,91 +436,70 @@ class VanillaNode(Node):
     # ----- forward evaluation -----
 
     def evaluate(self, be: Backend, inputs: list):
-        const, lin, quad = self._build_wiring(be.spec.p)
-
         def make():
-            def run(flat):
-                out = self._const_vec(be, const)
-                for sl in lin:
-                    src = sl["src"].astype(np.int32)
-                    g = jax.tree.map(lambda a: a[src], flat)
-                    out = be.add(out, be.mul(self._const_vec(be, sl["coef"]), g))
-                for sq in quad:
-                    ga = jax.tree.map(
-                        lambda a: a[sq["a"].astype(np.int32)], flat
-                    )
-                    gb = jax.tree.map(
-                        lambda a: a[sq["b"].astype(np.int32)], flat
-                    )
-                    out = be.add(
-                        out,
-                        be.mul(
-                            self._const_vec(be, sq["coef"]), be.mul(ga, gb)
-                        ),
-                    )
+            def run(flat, wd):
+                out = wd["const"]
+                for sl in wd["lin"]:
+                    g = jax.tree.map(lambda a: a[sl["src"]], flat)
+                    out = be.add(out, be.mul(sl["coef"], g))
+                for sq in wd["quad"]:
+                    ga = jax.tree.map(lambda a: a[sq["a_flat"]], flat)
+                    gb = jax.tree.map(lambda a: a[sq["b_flat"]], flat)
+                    out = be.add(out, be.mul(sq["coef"], be.mul(ga, gb)))
                 return out
 
             return run
 
         flat = _concat_flat(be, inputs, self.P, self.S)
-        return self._get_prog(be, "eval", make)(flat)
+        return self._get_prog(be, "eval", make)(flat, self._wiring_dev(be))
 
     # ----- claim reduction -----
 
     def _phase1_parts(self, be, Eq, flat):
         """Prover scatters: A_flat [P*S] and H_q tables [S] per quad slot."""
-        const, lin, quad = self._build_wiring(be.spec.p)
         P, S = self.P, self.S
 
         def make():
-            def run(Eq, flat):
+            def run(Eq, flat, wd):
                 A = None
-                for sl in lin:
-                    vals = be.mul(Eq, self._const_vec(be, sl["coef"]))
-                    part = be.scatter_add_mod(
-                        jnp.asarray(sl["src"].astype(np.int32)), vals, P * S
-                    )
+                for sl in wd["lin"]:
+                    vals = be.mul(Eq, sl["coef"])
+                    part = be.scatter_add_mod(sl["src"], vals, P * S)
                     A = part if A is None else be.add(A, part)
                 if A is None:
                     A = be.zeros((P * S,), ext=True)
                 Hs = []
-                for sq in quad:
-                    gb = jax.tree.map(
-                        lambda a: a[sq["b"].astype(np.int32)], flat
-                    )
-                    vals = be.mul(
-                        be.mul(Eq, self._const_vec(be, sq["coef"])), gb
-                    )
-                    tgt = (sq["a"] - sq["pa"] * S).astype(np.int32)
-                    Hs.append(be.scatter_add_mod(jnp.asarray(tgt), vals, S))
+                for sq in wd["quad"]:
+                    gb = jax.tree.map(lambda a: a[sq["b_flat"]], flat)
+                    vals = be.mul(be.mul(Eq, sq["coef"]), gb)
+                    Hs.append(be.scatter_add_mod(sq["a"], vals, S))
                 # dot <Eq, const>
-                cdot = be.sum_digest(be.mul(Eq, self._const_vec(be, const)))
+                cdot = be.sum_digest(be.mul(Eq, wd["const"]))
                 return A, Hs, cdot
 
             return run
 
-        return self._get_prog(be, "phase1", make)(Eq, flat)
+        return self._get_prog(be, "phase1", make)(
+            Eq, flat, self._wiring_dev(be)
+        )
 
     def _w_tables(self, be, Eq, eq_u):
-        const, lin, quad = self._build_wiring(be.spec.p)
         S = self.S
 
         def make():
-            def run(Eq, eq_u):
+            def run(Eq, eq_u, wd):
                 Ws = []
-                for sq in quad:
-                    ga = (sq["a"] - sq["pa"] * S).astype(np.int32)
-                    gbt = (sq["b"] - sq["pb"] * S).astype(np.int32)
+                for sq in wd["quad"]:
                     vals = be.mul(
-                        be.mul(Eq, self._const_vec(be, sq["coef"])),
-                        jax.tree.map(lambda a: a[ga], eq_u),
+                        be.mul(Eq, sq["coef"]),
+                        jax.tree.map(lambda a: a[sq["a"]], eq_u),
                     )
-                    Ws.append(be.scatter_add_mod(jnp.asarray(gbt), vals, S))
+                    Ws.append(be.scatter_add_mod(sq["b"], vals, S))
                 return Ws
 
             return run
 
-        return self._get_prog(be, "w", make)(Eq, eq_u)
+        return self._get_prog(be, "w", make)(Eq, eq_u, self._wiring_dev(be))
 
     def _split_A(self, be, A_flat):
         P, S = self.P, self.S
@@ -492,142 +508,276 @@ class VanillaNode(Node):
             for p in range(P)
         ]
 
-    def _phase1_expr(self):
-        _, lin, quad = self._build_wiring()
-        # tables: [A_0, in_0, A_1, in_1, ..., H_0, H_1, ...]
-        terms = [Term(None, (2 * p, 2 * p + 1)) for p in range(self.P)]
-        for qi, sq in enumerate(quad):
-            terms.append(Term(None, (2 * self.P + qi, 2 * sq["pa"] + 1)))
-        return SumcheckExpr(terms, 2 * self.P + len(quad))
+    def _quad_meta(self, p):
+        quad = self._build_wiring(p)[2]
+        pa_list = [sq["pa"] for sq in quad]
+        pbs = sorted({sq["pb"] for sq in quad})
+        return quad, pa_list, pbs
 
-    def prove_claim_reduction(self, be, claims, inputs, transcript,
-                              mesh=None):
+    # ----- grouped claim reduction (protocol v2, PROTOCOL.md "grouped
+    # reductions"): B shape-identical independent nodes prove ONE batched
+    # two-phase sumcheck; B = 1 reproduces the single-node protocol -----
+
+    @staticmethod
+    def _group_phase1_expr(P: int, pa_list, B: int) -> SumcheckExpr:
+        """Tables: per instance b a block [A_{b,0}, in_{b,0}, ..,
+        A_{b,P-1}, in_{b,P-1}] (offset 2*P*b), then all H_{b,q} b-major."""
+        nq = len(pa_list)
+        H0 = 2 * P * B
+        terms = []
+        for b in range(B):
+            off = 2 * P * b
+            for p in range(P):
+                terms.append(Term(None, (off + 2 * p, off + 2 * p + 1)))
+            for qi, pa in enumerate(pa_list):
+                terms.append(
+                    Term(None, (H0 + b * nq + qi, off + 2 * pa + 1))
+                )
+        return SumcheckExpr(terms, H0 + B * nq)
+
+    @staticmethod
+    def prove_group_reduction(be, nodes, claims_list, inputs_list,
+                              transcript, mesh=None):
+        """Host-path batched reduction over B shape-identical nodes.
+
+        claims_list[b]: the (point, value) claims of node b (equal count
+        across members); inputs_list[b]: node b's input tables. Returns
+        per-node out_claims (list of per-input-poly claim lists)."""
         spec = be.spec
-        const, lin, quad = self._build_wiring(be.spec.p)
-        points, alphas, combined = _combine_claims(be, claims, transcript)
-        Eq = eq_rlc_table(be, points, alphas)
-        flat = _concat_flat(be, inputs, self.P, self.S)
-        A_flat, Hs, cdot = self._phase1_parts(be, Eq, flat)
-        cterm = spec._c(be.digest_value(cdot))
+        node0 = nodes[0]
+        B = len(nodes)
+        P, S = node0.P, node0.S
+        npts = len(claims_list[0])
+        assert all(len(c) == npts for c in claims_list)
+        quad, pa_list, pbs = node0._quad_meta(spec.p)
+        nq = len(quad)
+
+        points = [[c[0] for c in cl] for cl in claims_list]
+        values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
+        total = B * npts
+        alpha = transcript.squeeze_challenge() if total > 1 else spec.one
+        alphas = [spec.epow(alpha, i) for i in range(total)]
+        combined = spec.zero
+        for b in range(B):
+            for i in range(npts):
+                combined = spec.eadd(
+                    combined, spec.emul(alphas[b * npts + i], values[b][i])
+                )
+
+        tables, Hs_all, Eqs = [], [], []
+        cterm = spec.zero
+        for b, node in enumerate(nodes):
+            Eq = eq_rlc_table(
+                be, points[b], alphas[b * npts : (b + 1) * npts]
+            )
+            flat = _concat_flat(be, inputs_list[b], P, S)
+            A_flat, Hs, cdot = node._phase1_parts(be, Eq, flat)
+            cterm = spec.eadd(cterm, spec._c(be.digest_value(cdot)))
+            for p, A in enumerate(node._split_A(be, A_flat)):
+                tables.extend([A, inputs_list[b][p]])
+            Hs_all.append(Hs)
+            Eqs.append(Eq)
+        for Hs in Hs_all:
+            tables.extend(Hs)
         claim1 = spec.esub(combined, cterm)
 
-        tables = []
-        for p, A in enumerate(self._split_A(be, A_flat)):
-            tables.extend([A, inputs[p]])
-        tables.extend(Hs)
-        expr = self._phase1_expr()
+        expr = VanillaNode._group_phase1_expr(P, pa_list, B)
         fclaim, u, fevals = prove_sum_check(
             be, expr, [], claim1, tables, transcript, mesh=mesh
         )
-        in_evals = [fevals[2 * p + 1] for p in range(self.P)]
-        h_evals = [fevals[2 * self.P + qi] for qi in range(len(quad))]
-        transcript.write_felts_ext(in_evals + h_evals)
+        H0 = 2 * P * B
+        in_evals = [
+            [fevals[2 * P * b + 2 * p + 1] for p in range(P)]
+            for b in range(B)
+        ]
+        h_evals = [
+            [fevals[H0 + b * nq + qi] for qi in range(nq)] for b in range(B)
+        ]
+        wr = []
+        for b in range(B):
+            wr.extend(in_evals[b])
+            wr.extend(h_evals[b])
+        transcript.write_felts_ext(wr)
 
-        out_claims = [[(u, in_evals[p])] for p in range(self.P)]
+        out_claims = [
+            [[(u, in_evals[b][p])] for p in range(P)] for b in range(B)
+        ]
 
         if quad:
             beta = transcript.squeeze_challenge()
-            betas = [spec.epow(beta, i) for i in range(len(quad))]
+            betas = [spec.epow(beta, i) for i in range(B * nq)]
             claim2 = spec.zero
-            for bq, hv in zip(betas, h_evals):
-                claim2 = spec.eadd(claim2, spec.emul(bq, spec._c(hv)))
+            for b in range(B):
+                for qi in range(nq):
+                    claim2 = spec.eadd(
+                        claim2,
+                        spec.emul(
+                            betas[b * nq + qi], spec._c(h_evals[b][qi])
+                        ),
+                    )
             eq_u = eq_rlc_table(be, [u], [spec.one])
-            Ws = self._w_tables(be, Eq, eq_u)
-            # tables: [W'_0 .. W'_{nq-1}, in_{pb} uniq...]
-            pbs = sorted({sq["pb"] for sq in quad})
-            pb_pos = {pb: len(quad) + i for i, pb in enumerate(pbs)}
-            tables2 = [be.scale(W, bq) for W, bq in zip(Ws, betas)]
-            tables2 += [inputs[pb] for pb in pbs]
+            # tables: W_{b,q} (beta-scaled) b-major, then in_{b,pb} b-major
+            tables2 = []
+            for b, node in enumerate(nodes):
+                Ws = node._w_tables(be, Eqs[b], eq_u)
+                tables2.extend(
+                    be.scale(W, betas[b * nq + qi])
+                    for qi, W in enumerate(Ws)
+                )
+            for b in range(B):
+                tables2.extend(inputs_list[b][pb] for pb in pbs)
+            Wc = B * nq
+            pb_idx = {pb: i for i, pb in enumerate(pbs)}
             terms2 = [
-                Term(None, (qi, pb_pos[sq["pb"]]))
+                Term(
+                    None,
+                    (
+                        b * nq + qi,
+                        Wc + b * len(pbs) + pb_idx[sq["pb"]],
+                    ),
+                )
+                for b in range(B)
                 for qi, sq in enumerate(quad)
             ]
-            expr2 = SumcheckExpr(terms2, len(quad) + len(pbs))
+            expr2 = SumcheckExpr(terms2, Wc + B * len(pbs))
             fclaim2, v2, fevals2 = prove_sum_check(
                 be, expr2, [], claim2, tables2, transcript, mesh=mesh
             )
-            pb_evals = [fevals2[pb_pos[pb]] for pb in pbs]
-            transcript.write_felts_ext(pb_evals)
-            for pb, ev in zip(pbs, pb_evals):
-                out_claims[pb].append((v2, ev))
+            pb_evals = [
+                [fevals2[Wc + b * len(pbs) + i] for i in range(len(pbs))]
+                for b in range(B)
+            ]
+            transcript.write_felts_ext(
+                [e for row in pb_evals for e in row]
+            )
+            for b in range(B):
+                for i, pb in enumerate(pbs):
+                    out_claims[b][pb].append((v2, pb_evals[b][i]))
         return out_claims
 
-    def prove_claim_reduction_device(self, be, claim_pts, inputs, dtx):
-        """Device-resident claim reduction: both phases, scatters, fused
-        sumchecks and all transcript traffic in ONE compiled program —
-        transcript bytes identical to prove_claim_reduction.
+    @staticmethod
+    def prove_group_reduction_device(be, nodes, claim_pts_list, inputs_list,
+                                     dtx):
+        """Device-resident batched reduction: B instances' scatters, both
+        fused sumchecks and all transcript traffic in ONE compiled program —
+        transcript bytes identical to prove_group_reduction. Generated code
+        size is INDEPENDENT of B: per-instance work is vectorized over a
+        leading instance axis (one flat scatter per wiring slot, grouped eq
+        tables, block-reshaped table stacking).
 
-        claim_pts: list of [v_out] ext device point buffers. Returns
-        (out_claims: per-input list of point buffers, dtx)."""
+        claim_pts_list[b]: list of [v_out] ext device point buffers for
+        node b (equal counts). Returns (per-node out_claims point buffers,
+        dtx)."""
         from . import dsumcheck as dsc
         from . import dtranscript as dt
 
-        const, lin, quad = self._build_wiring(be.spec.p)
-        npts = len(claim_pts)
-        flat = _concat_flat(be, inputs, self.P, self.S)
+        node0 = nodes[0]
+        B = len(nodes)
+        npts = len(claim_pts_list[0])
+        assert all(len(c) == npts for c in claim_pts_list)
+        quad, pa_list, pbs = node0._quad_meta(be.spec.p)
 
         def make():
-            P, S = self.P, self.S
-            vout = self.log2_output_size()
+            P, S = node0.P, node0.S
+            vout = node0.log2_output_size()
             sv = S.bit_length() - 1
-            expr = self._phase1_expr()
-            pbs = sorted({sq["pb"] for sq in quad})
-            pb_pos = {pb: len(quad) + i for i, pb in enumerate(pbs)}
+            nq = len(quad)
+            npb = len(pbs)
+            expr = VanillaNode._group_phase1_expr(P, pa_list, B)
+            total = B * npts
 
-            def run(pts, flat, inputs, dtx):
-                if npts > 1:
+            def run(pts, flat, dtx, wd):
+                # pts: [B, npts, vout]; flat: [B, P*S] base; wd: stacked
+                # wiring ([B, ...] leaves)
+                if total > 1:
                     alpha, dtx = dt.squeeze_challenge(be, dtx)
-                    alphas = dsc.powers(be, alpha, npts)
+                    alphas = dsc.powers(be, alpha, total)
                 else:
                     alphas = be.ext.ones((1,))
-                Eq = dsc.eq_rlc(be, pts, alphas, vout, npts)
+                Eq = dsc.eq_rlc_grouped(be, pts, alphas, vout, B, npts)
+                boff_ps = (
+                    jnp.arange(B, dtype=jnp.int32) * (P * S)
+                )[:, None]
+                boff_s = (jnp.arange(B, dtype=jnp.int32) * S)[:, None]
                 A = None
-                for sl in lin:
-                    vals = be.mul(Eq, self._const_vec(be, sl["coef"]))
+                for sl in wd["lin"]:
+                    vals = be.mul(Eq, sl["coef"])  # [B, Y]
+                    idx = (sl["src"] + boff_ps).reshape(-1)
                     part = be.scatter_add_mod(
-                        jnp.asarray(sl["src"].astype(np.int32)), vals, P * S
+                        idx,
+                        jax.tree.map(lambda a: a.reshape(-1), vals),
+                        B * P * S,
                     )
                     A = part if A is None else be.add(A, part)
                 if A is None:
-                    A = be.zeros((P * S,), ext=True)
+                    A = be.zeros((B * P * S,), ext=True)
                 Hs = []
-                for sq in quad:
+                for sq in wd["quad"]:
                     gb = jax.tree.map(
-                        lambda a: a[sq["b"].astype(np.int32)], flat
+                        lambda a, i=sq["b_flat"]: jnp.take_along_axis(
+                            a, i, axis=1
+                        ),
+                        flat,
                     )
-                    vals = be.mul(
-                        be.mul(Eq, self._const_vec(be, sq["coef"])), gb
+                    vals = be.mul(be.mul(Eq, sq["coef"]), gb)
+                    idx = (sq["a"] + boff_s).reshape(-1)
+                    Hs.append(
+                        be.scatter_add_mod(
+                            idx,
+                            jax.tree.map(lambda a: a.reshape(-1), vals),
+                            B * S,
+                        )
                     )
-                    tgt = (sq["a"] - sq["pa"] * S).astype(np.int32)
-                    Hs.append(be.scatter_add_mod(jnp.asarray(tgt), vals, S))
-                tables = []
-                for p in range(P):
-                    tables.append(
-                        jax.tree.map(lambda a, p=p: a[p * S : (p + 1) * S], A)
+                # stacked buffer rows: [A_{b,p} | in_{b,p}] interleaved
+                # (block reshape, no per-row stacking), then H_{b,q} b-major
+                Ablk = be.reshape(A, (B * P, S))
+                Inblk = be.lift(be.reshape(flat, (B * P, S)))
+                AI = jax.tree.map(
+                    lambda a, i: jnp.stack([a, i], axis=1).reshape(
+                        2 * B * P, S
+                    ),
+                    Ablk, Inblk,
+                )
+                rows = [AI]
+                if nq:
+                    Hblk = jax.tree.map(
+                        lambda *hs: jnp.stack(
+                            [h.reshape(B, S) for h in hs], axis=1
+                        ).reshape(B * nq, S),
+                        *Hs,
                     )
-                    tables.append(be.lift(inputs[p]))
-                tables.extend(Hs)
+                    rows.append(Hblk)
+                rows.append(be.ext.ones((1, S)))
                 stk = jax.tree.map(
-                    lambda *rows: jnp.stack(rows),
-                    *(tables + [be.ext.ones((S,))]),
+                    lambda *rs: jnp.concatenate(rs, axis=0), *rows
                 )
                 cdev = dsc.coeffs_device(be, [])
                 u, fevals, dtx = dsc.rounds(
                     be, expr.key(), 0, sv, stk, cdev, dtx,
                     jnp.int32(sv), jnp.int32(S),
                 )
+                H0 = 2 * P * B
                 lay = np.asarray(
-                    [2 * p + 1 for p in range(P)]
-                    + [2 * P + qi for qi in range(len(quad))],
+                    [
+                        j
+                        for b in range(B)
+                        for j in (
+                            [2 * P * b + 2 * p + 1 for p in range(P)]
+                            + [H0 + b * nq + qi for qi in range(nq)]
+                        )
+                    ],
                     dtype=np.int32,
                 )
                 dtx = dt.write_ext(
                     be, dtx, jax.tree.map(lambda a: a[lay], fevals)
                 )
-                if not quad:
+                if not nq:
                     return u, u, dtx
                 beta, dtx = dt.squeeze_challenge(be, dtx)
-                betas = dsc.powers(be, beta, len(quad))
+                betas = dsc.powers(be, beta, B * nq)
+                betas_r = jax.tree.map(
+                    lambda a: a.reshape((B, nq) + a.shape[1:]), betas
+                )
                 eq_u = dsc.eq_rlc(
                     be,
                     jax.tree.map(lambda a: a[None], u),
@@ -635,31 +785,55 @@ class VanillaNode(Node):
                     sv,
                     1,
                 )
-                tables2 = []
-                for qi, sq in enumerate(quad):
-                    ga = (sq["a"] - sq["pa"] * S).astype(np.int32)
-                    gbt = (sq["b"] - sq["pb"] * S).astype(np.int32)
-                    vals = be.mul(
-                        be.mul(Eq, self._const_vec(be, sq["coef"])),
-                        jax.tree.map(lambda a: a[ga], eq_u),
+                Ws = []
+                for qi, sq in enumerate(wd["quad"]):
+                    ga = jax.tree.map(
+                        lambda a, i=sq["a"]: a[i], eq_u
+                    )  # [B, Y] gather of the shared [S] table
+                    vals = be.mul(be.mul(Eq, sq["coef"]), ga)
+                    idx = (sq["b"] + boff_s).reshape(-1)
+                    W = be.scatter_add_mod(
+                        idx,
+                        jax.tree.map(lambda a: a.reshape(-1), vals),
+                        B * S,
                     )
-                    W = be.scatter_add_mod(jnp.asarray(gbt), vals, S)
-                    tables2.append(be.mul(W, be.index(betas, qi)))
-                tables2 += [be.lift(inputs[pb]) for pb in pbs]
+                    Wb = be.reshape(W, (B, S))
+                    bq = jax.tree.map(
+                        lambda a, qi=qi: a[:, qi : qi + 1], betas_r
+                    )
+                    Ws.append(be.mul(Wb, bq))
+                Wblk = jax.tree.map(
+                    lambda *ws: jnp.stack(ws, axis=1).reshape(B * nq, S),
+                    *Ws,
+                )
+                pb_rows = np.asarray(
+                    [b * P + pb for b in range(B) for pb in pbs],
+                    dtype=np.int32,
+                )
+                Inpb = jax.tree.map(lambda a: a[pb_rows], Inblk)
+                stk2 = jax.tree.map(
+                    lambda *rs: jnp.concatenate(rs, axis=0),
+                    Wblk, Inpb, be.ext.ones((1, S)),
+                )
+                Wc = B * nq
+                pb_idx = {pb: i for i, pb in enumerate(pbs)}
                 terms2 = [
-                    Term(None, (qi, pb_pos[sq["pb"]]))
+                    Term(
+                        None,
+                        (b * nq + qi, Wc + b * npb + pb_idx[sq["pb"]]),
+                    )
+                    for b in range(B)
                     for qi, sq in enumerate(quad)
                 ]
-                expr2 = SumcheckExpr(terms2, len(quad) + len(pbs))
-                stk2 = jax.tree.map(
-                    lambda *rows: jnp.stack(rows),
-                    *(tables2 + [be.ext.ones((S,))]),
-                )
+                expr2 = SumcheckExpr(terms2, Wc + B * npb)
                 v2, fevals2, dtx = dsc.rounds(
                     be, expr2.key(), 0, sv, stk2, cdev, dtx,
                     jnp.int32(sv), jnp.int32(S),
                 )
-                lay2 = np.asarray([pb_pos[pb] for pb in pbs], dtype=np.int32)
+                lay2 = np.asarray(
+                    [Wc + b * npb + i for b in range(B) for i in range(npb)],
+                    dtype=np.int32,
+                )
                 dtx = dt.write_ext(
                     be, dtx, jax.tree.map(lambda a: a[lay2], fevals2)
                 )
@@ -667,13 +841,42 @@ class VanillaNode(Node):
 
             return run
 
-        fn = self._get_prog(be, ("dprove", npts), make)
-        pts = jax.tree.map(lambda *xs: jnp.stack(xs), *claim_pts)
-        u, v2, dtx = fn(pts, flat, inputs, dtx)
-        out_claims = [[u] for _ in range(self.P)]
+        gkey = (
+            be.spec.name, node0._shape_sig(be.spec.p), ("dgroup", B, npts)
+        )
+        fn = _PROG_CACHE.get(gkey)
+        if fn is None:
+            fn = _PROG_CACHE[gkey] = jax.jit(make())
+        # stacked per-group device state (wiring + inputs + points); the
+        # wiring stack is static — cached on the group's first node
+        wkey = ("gwd", be.spec.name, tuple(id(n) for n in nodes))
+        wd_stk = getattr(node0, "_group_wd_cache", {}).get(wkey)
+        if wd_stk is None:
+            wd_stk = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[n._wiring_dev(be) for n in nodes],
+            )
+            if not hasattr(node0, "_group_wd_cache"):
+                node0._group_wd_cache = {}
+            node0._group_wd_cache[wkey] = wd_stk
+        flats = [
+            _concat_flat(be, inputs_list[b], node0.P, node0.S)
+            for b in range(B)
+        ]
+        flat_stk = jax.tree.map(lambda *xs: jnp.stack(xs), *flats)
+        pts = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[
+                jax.tree.map(lambda *ys: jnp.stack(ys), *cl)
+                for cl in claim_pts_list
+            ],
+        )
+        u, v2, dtx = fn(pts, flat_stk, dtx, wd_stk)
+        out_claims = [[[u] for _ in range(node0.P)] for _ in range(B)]
         if quad:
-            for pb in sorted({sq["pb"] for sq in quad}):
-                out_claims[pb].append(v2)
+            for b in range(B):
+                for pb in pbs:
+                    out_claims[b][pb].append(v2)
         return out_claims, dtx
 
     # ----- host verifier (closed-form wiring evaluation) -----
@@ -710,87 +913,136 @@ class VanillaNode(Node):
                 acc = spec.eadd(acc, spec.emul(al, v))
         return acc
 
-    def verify_claim_reduction(self, be, claims, transcript):
-        """Pure-host verifier: the wiring MLEs A_p~(u), W_q~(v2) and
-        <Eq, const> are evaluated in closed form over the affine-run
+    @staticmethod
+    def verify_group_reduction(be, nodes, claims_list, transcript):
+        """Pure-host batched verifier: per-instance wiring MLEs A~, W~ and
+        <Eq, const> are evaluated in closed form over each node's affine-run
         decomposition (O(runs * v^2) scalar ext ops) — no device programs,
-        no transfers (the round-2 device-assisted verifier spent seconds on
-        TPU-tunnel round trips; the reference verifies on CPU in ms)."""
-        from . import wiring_eval as we
-
+        no transfers. Mirrors prove_group_reduction's transcript exactly;
+        B = 1 is the plain single-node verification."""
         spec = be.spec
-        const, lin, quad = self._build_wiring(be.spec.p)
-        points, alphas, combined = _combine_claims(be, claims, transcript)
-        cr, lrs, qrs = self._host_wiring()
+        node0 = nodes[0]
+        B = len(nodes)
+        P = node0.P
+        npts = len(claims_list[0])
+        assert all(len(c) == npts for c in claims_list)
+        quad, pa_list, pbs = node0._quad_meta(spec.p)
+        nq = len(quad)
+
+        points = [[c[0] for c in cl] for cl in claims_list]
+        values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
+        total = B * npts
+        alpha = transcript.squeeze_challenge() if total > 1 else spec.one
+        alphas = [spec.epow(alpha, i) for i in range(total)]
+        al_b = [alphas[b * npts : (b + 1) * npts] for b in range(B)]
+        combined = spec.zero
+        for b in range(B):
+            for i in range(npts):
+                combined = spec.eadd(
+                    combined, spec.emul(al_b[b][i], values[b][i])
+                )
 
         cterm = spec.zero
-        for y0, y1, val in cr:
-            s = self._eq_wiring_sum(spec, points, alphas, [((y0, y1), [])])
-            cterm = spec.eadd(cterm, spec.escale(s, val))
+        for b, node in enumerate(nodes):
+            cr, _, _ = node._host_wiring()
+            for y0, y1, val in cr:
+                s = node._eq_wiring_sum(
+                    spec, points[b], al_b[b], [((y0, y1), [])]
+                )
+                cterm = spec.eadd(cterm, spec.escale(s, val))
         claim1 = spec.esub(combined, cterm)
 
-        sv = self.S.bit_length() - 1
-        expr = self._phase1_expr()
-        fclaim, u = verify_sum_check(spec, expr.degree, sv, claim1, transcript)
-        evals = transcript.read_felts_ext(self.P + len(quad))
-        in_evals = evals[: self.P]
-        h_evals = evals[self.P :]
+        sv = node0.S.bit_length() - 1
+        fclaim, u = verify_sum_check(spec, 2, sv, claim1, transcript)
+        evals = transcript.read_felts_ext(B * (P + nq))
+        in_evals = [
+            [evals[b * (P + nq) + p] for p in range(P)] for b in range(B)
+        ]
+        h_evals = [
+            [evals[b * (P + nq) + P + qi] for qi in range(nq)]
+            for b in range(B)
+        ]
 
-        # A_p~(u) = sum_runs coef * sum_i alpha_i
-        #           sum_y eq(pt_i, y) eq(u, y + (local0 - y0))
-        a_evals = [spec.zero] * self.P
-        for runs in lrs:
-            for y0, y1, coef, (src0,) in runs:
-                p_idx = src0 // self.S
-                local0 = src0 - p_idx * self.S
-                s = self._eq_wiring_sum(
-                    spec, points, alphas,
-                    [((y0, y1), [(u, local0 - y0)])],
-                )
-                a_evals[p_idx] = spec.eadd(a_evals[p_idx], spec.escale(s, coef))
         acc = spec.zero
-        for p in range(self.P):
-            acc = spec.eadd(acc, spec.emul(a_evals[p], spec._c(in_evals[p])))
-        for qi, sq in enumerate(quad):
-            acc = spec.eadd(
-                acc,
-                spec.emul(spec._c(h_evals[qi]), spec._c(in_evals[sq["pa"]])),
-            )
+        for b, node in enumerate(nodes):
+            _, lrs, _ = node._host_wiring()
+            # A_{b,p}~(u) = sum_runs coef * sum_i alpha_i
+            #               sum_y eq(pt_i, y) eq(u, y + (local0 - y0))
+            a_evals = [spec.zero] * P
+            for runs in lrs:
+                for y0, y1, coef, (src0,) in runs:
+                    p_idx = src0 // node.S
+                    local0 = src0 - p_idx * node.S
+                    s = node._eq_wiring_sum(
+                        spec, points[b], al_b[b],
+                        [((y0, y1), [(u, local0 - y0)])],
+                    )
+                    a_evals[p_idx] = spec.eadd(
+                        a_evals[p_idx], spec.escale(s, coef)
+                    )
+            for p in range(P):
+                acc = spec.eadd(
+                    acc, spec.emul(a_evals[p], spec._c(in_evals[b][p]))
+                )
+            for qi, sq in enumerate(quad):
+                acc = spec.eadd(
+                    acc,
+                    spec.emul(
+                        spec._c(h_evals[b][qi]),
+                        spec._c(in_evals[b][sq["pa"]]),
+                    ),
+                )
         if acc != fclaim:
             raise ValueError("vanilla node: phase-1 claim mismatch")
 
-        out_claims = [[(u, in_evals[p])] for p in range(self.P)]
+        out_claims = [
+            [[(u, in_evals[b][p])] for p in range(P)] for b in range(B)
+        ]
         if quad:
             beta = transcript.squeeze_challenge()
-            betas = [spec.epow(beta, i) for i in range(len(quad))]
+            betas = [spec.epow(beta, i) for i in range(B * nq)]
             claim2 = spec.zero
-            for bq, hv in zip(betas, h_evals):
-                claim2 = spec.eadd(claim2, spec.emul(bq, spec._c(hv)))
-            fclaim2, v2 = verify_sum_check(spec, 2, sv, claim2, transcript)
-            pbs = sorted({sq["pb"] for sq in quad})
-            pb_evals = transcript.read_felts_ext(len(pbs))
-            pb_map = dict(zip(pbs, pb_evals))
-            acc2 = spec.zero
-            for qi, (sq, runs) in enumerate(zip(quad, qrs)):
-                wsum = spec.zero
-                for y0, y1, coef, (a0, b0) in runs:
-                    aloc0 = a0 - sq["pa"] * self.S
-                    bloc0 = b0 - sq["pb"] * self.S
-                    s = self._eq_wiring_sum(
-                        spec, points, alphas,
-                        [((y0, y1), [(u, aloc0 - y0), (v2, bloc0 - y0)])],
+            for b in range(B):
+                for qi in range(nq):
+                    claim2 = spec.eadd(
+                        claim2,
+                        spec.emul(
+                            betas[b * nq + qi], spec._c(h_evals[b][qi])
+                        ),
                     )
-                    wsum = spec.eadd(wsum, spec.escale(s, coef))
-                acc2 = spec.eadd(
-                    acc2,
-                    spec.emul(
-                        spec.emul(betas[qi], wsum), spec._c(pb_map[sq["pb"]])
-                    ),
-                )
+            fclaim2, v2 = verify_sum_check(spec, 2, sv, claim2, transcript)
+            pb_evals = transcript.read_felts_ext(B * len(pbs))
+            acc2 = spec.zero
+            for b, node in enumerate(nodes):
+                _, _, qrs = node._host_wiring()
+                pb_map = {
+                    pb: pb_evals[b * len(pbs) + i]
+                    for i, pb in enumerate(pbs)
+                }
+                for qi, (sq, runs) in enumerate(zip(quad, qrs)):
+                    wsum = spec.zero
+                    for y0, y1, coef, (a0, b0) in runs:
+                        aloc0 = a0 - sq["pa"] * node.S
+                        bloc0 = b0 - sq["pb"] * node.S
+                        s = node._eq_wiring_sum(
+                            spec, points[b], al_b[b],
+                            [((y0, y1), [(u, aloc0 - y0), (v2, bloc0 - y0)])],
+                        )
+                        wsum = spec.eadd(wsum, spec.escale(s, coef))
+                    acc2 = spec.eadd(
+                        acc2,
+                        spec.emul(
+                            spec.emul(betas[b * nq + qi], wsum),
+                            spec._c(pb_map[sq["pb"]]),
+                        ),
+                    )
             if acc2 != fclaim2:
                 raise ValueError("vanilla node: phase-2 claim mismatch")
-            for pb in pbs:
-                out_claims[pb].append((v2, pb_map[pb]))
+            for b in range(B):
+                for i, pb in enumerate(pbs):
+                    out_claims[b][pb].append(
+                        (v2, pb_evals[b * len(pbs) + i])
+                    )
         return out_claims
 
 
@@ -831,85 +1083,178 @@ class FftNode(Node):
         (x,) = inputs
         return ntt.ntt(be, x, inverse=self.inverse)
 
-    def prove_claim_reduction(self, be, claims, inputs, transcript,
-                              mesh=None):
+    @staticmethod
+    def prove_group_reduction(be, nodes, claims_list, inputs_list,
+                              transcript, mesh=None):
+        """Host-path batched reduction over B same-shape FFT nodes: ONE
+        degree-2 sumcheck proves sum_b alpha-block_b <d_b, in_b>; B = 1 is
+        the single-node protocol."""
         spec = be.spec
-        points, alphas, combined = _combine_claims(be, claims, transcript)
-        d = ntt.dft_row_mle(be, points, alphas, self.log2_size, self.inverse)
-        expr = SumcheckExpr([Term(None, (0, 1))], 2)
-        fclaim, u, fevals = prove_sum_check(
-            be, expr, [], combined, [d, inputs[0]], transcript, mesh=mesh
+        node0 = nodes[0]
+        B = len(nodes)
+        logl = node0.log2_size
+        npts = len(claims_list[0])
+        assert all(len(c) == npts for c in claims_list)
+        points = [[c[0] for c in cl] for cl in claims_list]
+        values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
+        total = B * npts
+        alpha = transcript.squeeze_challenge() if total > 1 else spec.one
+        alphas = [spec.epow(alpha, i) for i in range(total)]
+        combined = spec.zero
+        for b in range(B):
+            for i in range(npts):
+                combined = spec.eadd(
+                    combined, spec.emul(alphas[b * npts + i], values[b][i])
+                )
+        tables = []
+        for b, node in enumerate(nodes):
+            d = ntt.dft_row_mle(
+                be, points[b], alphas[b * npts : (b + 1) * npts],
+                logl, node.inverse,
+            )
+            tables.extend([d, inputs_list[b][0]])
+        expr = SumcheckExpr(
+            [Term(None, (2 * b, 2 * b + 1)) for b in range(B)], 2 * B
         )
-        transcript.write_felt_ext(fevals[1])
-        return [[(u, fevals[1])]]
+        fclaim, u, fevals = prove_sum_check(
+            be, expr, [], combined, tables, transcript, mesh=mesh
+        )
+        in_evals = [fevals[2 * b + 1] for b in range(B)]
+        transcript.write_felts_ext(in_evals)
+        return [[[(u, in_evals[b])]] for b in range(B)]
 
-    def prove_claim_reduction_device(self, be, claim_pts, inputs, dtx):
+    @staticmethod
+    def prove_group_reduction_device(be, nodes, claim_pts_list, inputs_list,
+                                     dtx):
         from . import dsumcheck as dsc
         from . import dtranscript as dt
 
-        npts = len(claim_pts)
+        node0 = nodes[0]
+        B = len(nodes)
+        npts = len(claim_pts_list[0])
+        assert all(len(c) == npts for c in claim_pts_list)
         gkey = (
-            be.spec.name, "fft", self.log2_size, self.inverse,
-            ("dprove", npts),
+            be.spec.name, "fft", node0.log2_size, node0.inverse,
+            ("dgroup", B, npts),
         )
         fn = _PROG_CACHE.get(gkey)
         if fn is None:
-            logl = self.log2_size
-            inverse = self.inverse
-            wtab = ntt._wpow_table(be.spec.name, 1 << logl, inverse)
-            expr = SumcheckExpr([Term(None, (0, 1))], 2)
+            logl = node0.log2_size
+            inverse = node0.inverse
+            total = B * npts
+            expr = SumcheckExpr(
+                [Term(None, (2 * b, 2 * b + 1)) for b in range(B)], 2 * B
+            )
 
-            def run(pts, x, dtx):
-                if npts > 1:
+            def run(pts, xs, dtx, wtab):
+                # pts: [B, npts, logl]; xs: [B, 2^logl] base
+                if total > 1:
                     alpha, dtx = dt.squeeze_challenge(be, dtx)
-                    alphas = dsc.powers(be, alpha, npts)
+                    alphas = dsc.powers(be, alpha, total)
                 else:
                     alphas = be.ext.ones((1,))
-                d = ntt.dft_row_mle_body(
-                    be, pts, alphas, wtab, logl, inverse, npts
+                d = ntt.dft_row_mle_grouped(
+                    be, pts, alphas, wtab, logl, inverse, B, npts
+                )  # [B, L]
+                DX = jax.tree.map(
+                    lambda dd, xx: jnp.stack([dd, xx], axis=1).reshape(
+                        2 * B, 1 << logl
+                    ),
+                    d, be.lift(xs),
                 )
                 stk = jax.tree.map(
-                    lambda *rows: jnp.stack(rows),
-                    d, be.lift(x), be.ext.ones((1 << logl,)),
+                    lambda a, o: jnp.concatenate([a, o], axis=0),
+                    DX, be.ext.ones((1, 1 << logl)),
                 )
                 cdev = dsc.coeffs_device(be, [])
                 u, fevals, dtx = dsc.rounds(
                     be, expr.key(), 0, logl, stk, cdev, dtx,
                     jnp.int32(logl), jnp.int32(1 << logl),
                 )
-                in_eval = jax.tree.map(lambda a: a[1], fevals)
-                dtx = dt.write_ext(be, dtx, in_eval)
+                lay = np.asarray(
+                    [2 * b + 1 for b in range(B)], dtype=np.int32
+                )
+                dtx = dt.write_ext(
+                    be, dtx, jax.tree.map(lambda a: a[lay], fevals)
+                )
                 return u, dtx
 
             fn = _PROG_CACHE[gkey] = jax.jit(run)
-        pts = jax.tree.map(lambda *xs: jnp.stack(xs), *claim_pts)
-        u, dtx = fn(pts, inputs[0], dtx)
-        return [[u]], dtx
+        pts = jax.tree.map(
+            lambda *xs: jnp.stack(xs),
+            *[
+                jax.tree.map(lambda *ys: jnp.stack(ys), *cl)
+                for cl in claim_pts_list
+            ],
+        )
+        xs = jax.tree.map(
+            lambda *x: jnp.stack(x), *[inp[0] for inp in inputs_list]
+        )
+        wtab = ntt._wpow_table(
+            be.spec.name, 1 << node0.log2_size, node0.inverse
+        )
+        u, dtx = fn(pts, xs, dtx, wtab)
+        return [[[u]] for _ in range(B)], dtx
 
-    def verify_claim_reduction(self, be, claims, transcript):
-        """Host verifier: the combined DFT-row MLE d~(u) is evaluated with
-        numpy field vectors (NpField.d_table, ~2*2^logl mults per claim
-        point via bit-doubling) — no device involvement."""
+    @staticmethod
+    def verify_group_reduction(be, nodes, claims_list, transcript):
+        """Host batched verifier: d~_b(u) = <d_b, eq_u> via numpy field
+        vectors; per DISTINCT claim point the row table is built once and
+        dotted once (grouped nodes usually share their claim point, so the
+        B d-tables of the ungrouped verifier collapse to one)."""
         from ..utils.npfield import NpField
 
         spec = be.spec
-        points, alphas, combined = _combine_claims(be, claims, transcript)
-        fclaim, u = verify_sum_check(
-            spec, 2, self.log2_size, combined, transcript
-        )
-        in_eval = transcript.read_felt_ext()
+        node0 = nodes[0]
+        B = len(nodes)
+        logl = node0.log2_size
+        npts = len(claims_list[0])
+        assert all(len(c) == npts for c in claims_list)
+        points = [[c[0] for c in cl] for cl in claims_list]
+        values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
+        total = B * npts
+        alpha = transcript.squeeze_challenge() if total > 1 else spec.one
+        alphas = [spec.epow(alpha, i) for i in range(total)]
+        combined = spec.zero
+        for b in range(B):
+            for i in range(npts):
+                combined = spec.eadd(
+                    combined, spec.emul(alphas[b * npts + i], values[b][i])
+                )
+        fclaim, u = verify_sum_check(spec, 2, logl, combined, transcript)
+        in_evals = transcript.read_felts_ext(B)
         npf = NpField.for_spec(spec)
-        d = npf.d_table(
-            [[spec._c(r) for r in pt] for pt in points],
-            [spec._c(a) for a in alphas],
-            self.log2_size,
-            self.inverse,
-        )
         equ = npf.eq_table([spec._c(r) for r in u])
-        d_eval = npf.dot_ext(d, equ)
-        if spec.emul(d_eval, spec._c(in_eval)) != fclaim:
+        # <d_pt, eq_u> per distinct (point, inverse) — cached across b, i
+        dcache = {}
+
+        def d_dot(pt, inverse):
+            key = (tuple(spec._c(r) for r in pt), inverse)
+            v = dcache.get(key)
+            if v is None:
+                d = npf.d_table(
+                    [[spec._c(r) for r in pt]], [spec.one], logl, inverse
+                )
+                v = dcache[key] = npf.dot_ext(d, equ)
+            return v
+
+        acc = spec.zero
+        for b, node in enumerate(nodes):
+            db_eval = spec.zero
+            for i in range(npts):
+                db_eval = spec.eadd(
+                    db_eval,
+                    spec.emul(
+                        alphas[b * npts + i],
+                        d_dot(points[b][i], node.inverse),
+                    ),
+                )
+            acc = spec.eadd(
+                acc, spec.emul(db_eval, spec._c(in_evals[b]))
+            )
+        if acc != fclaim:
             raise ValueError("fft node: claim mismatch")
-        return [[(u, in_eval)]]
+        return [[[(u, in_evals[b])]] for b in range(B)]
 
 
 class LassoCircuitNode(Node):
@@ -955,12 +1300,14 @@ class Circuit:
         self.nodes.append(node)
         self.node_inputs.append([])
         self._topo = None
+        self._sched = None
         return len(self.nodes) - 1
 
     def connect(self, src: int, dst: int):
         assert src != dst
         self.node_inputs[dst].append(src)
         self._topo = None
+        self._sched = None
 
     def input_ids(self) -> List[int]:
         return [i for i, n in enumerate(self.nodes) if n.is_input()]
@@ -1014,6 +1361,67 @@ class Circuit:
                 )
         return values
 
+    def reduction_schedule(self) -> List[List[int]]:
+        """Groups of shape-identical, mutually independent non-input nodes
+        in a reverse-topological GROUP order (PROTOCOL.md "grouped
+        reductions").
+
+        Nodes are keyed by (type, shape signature, depth) where depth is the
+        longest path to an output: equal-depth nodes are never connected, so
+        contracting them is cycle-free, and processing groups by ascending
+        depth guarantees every member's claims are complete (all consumers
+        sit at strictly smaller depth). Deterministic: derived from circuit
+        structure only — prover and verifier walk the identical schedule."""
+        if getattr(self, "_sched", None) is not None:
+            return self._sched
+        order = self.topo_order()
+        n = len(self.nodes)
+        consumers = [[] for _ in range(n)]
+        for dst, ins in enumerate(self.node_inputs):
+            for src in ins:
+                consumers[src].append(dst)
+        depth = [0] * n
+        for nid in reversed(order):
+            depth[nid] = max(
+                (depth[c] + 1 for c in consumers[nid]), default=0
+            )
+        groups: dict = {}
+        for nid in range(n):
+            node = self.nodes[nid]
+            if node.is_input():
+                continue
+            if isinstance(node, VanillaNode):
+                key = ("v", node._shape_sig(self.be.spec.p), depth[nid])
+            elif isinstance(node, FftNode):
+                key = ("f", node.log2_size, node.inverse, depth[nid])
+            else:
+                key = ("x", nid)
+            groups.setdefault(key, []).append(nid)
+        self._sched = [
+            sorted(m)
+            for m in sorted(
+                groups.values(), key=lambda m: (depth[m[0]], min(m))
+            )
+        ]
+        return self._sched
+
+
+def _group_units(circuit, claims, group):
+    """Split a schedule group into batchable units at walk time: members
+    with equal claim counts batch together; claimless members are skipped.
+    Deterministic given the (deterministic) claim evolution, so prover and
+    verifier derive identical units."""
+    members = [nid for nid in group if claims[nid]]
+    if not members:
+        return []
+    node0 = circuit.nodes[members[0]]
+    if isinstance(node0, (VanillaNode, FftNode)):
+        by_cnt: dict = {}
+        for m in members:
+            by_cnt.setdefault(len(claims[m]), []).append(m)
+        return [("group", by_cnt[c]) for c in sorted(by_cnt)]
+    return [("single", [m]) for m in members]
+
 
 def prove_gkr(
     circuit: Circuit,
@@ -1027,10 +1435,13 @@ def prove_gkr(
     """output_claims: [(point, value)] per output node (insertion order).
     Returns claims per input node.
 
-    Checkpoint/resume (SURVEY.md §5.4: per-GKR-node checkpointing of the
+    Walks the grouped reduction schedule (Circuit.reduction_schedule):
+    shape-identical independent nodes prove ONE batched reduction per group.
+
+    Checkpoint/resume (SURVEY.md §5.4: per-GKR-group checkpointing of the
     transcript state + claim frontier for multi-hour proofs):
-    - `checkpoint_cb(state)` is invoked after every node reduction with a
-      picklable dict (transcript snapshot + claim frontier + node cursor).
+    - `checkpoint_cb(state)` is invoked after every schedule group with a
+      picklable dict (transcript snapshot + claim frontier + group cursor).
     - `resume=state` fast-forwards a FRESH transcript/claims to that point
       (the circuit and `values` are rebuilt by the caller — node values are
       deterministic re-evaluations of the inputs)."""
@@ -1040,30 +1451,43 @@ def prove_gkr(
     assert len(output_claims) == len(outs)
     for nid, cl in zip(outs, output_claims):
         claims[nid] = [cl]
-    order = [
-        nid for nid in reversed(circuit.topo_order())
-        if not circuit.nodes[nid].is_input()
-    ]
+    sched = circuit.reduction_schedule()
     start = 0
     if resume is not None:
         transcript.restore(resume["transcript"])
         claims = [list(c) for c in resume["claims"]]
         start = resume["next_index"]
-    for idx, nid in enumerate(order):
+    for idx, group in enumerate(sched):
         if idx < start:
             continue
-        node = circuit.nodes[nid]
-        if not claims[nid]:
-            continue
-        ins = circuit.node_inputs[nid]
-        with span(f"{type(node).__name__}[{nid}]::prove_claim_reduction"):
-            child = node.prove_claim_reduction(
-                be, claims[nid], [values[j] for j in ins], transcript,
-                mesh=mesh,
-            )
-        assert len(child) == len(ins)
-        for cid, cls_ in zip(ins, child):
-            claims[cid].extend(cls_)
+        for kind, members in _group_units(circuit, claims, group):
+            nodes = [circuit.nodes[m] for m in members]
+            ins_list = [circuit.node_inputs[m] for m in members]
+            if kind == "group":
+                name = f"{type(nodes[0]).__name__}x{len(members)}{members}"
+                with span(f"{name}::prove_group_reduction"):
+                    outs_ = type(nodes[0]).prove_group_reduction(
+                        be, nodes,
+                        [claims[m] for m in members],
+                        [[values[j] for j in ins] for ins in ins_list],
+                        transcript, mesh=mesh,
+                    )
+            else:
+                m = members[0]
+                with span(
+                    f"{type(nodes[0]).__name__}[{m}]::prove_claim_reduction"
+                ):
+                    outs_ = [
+                        nodes[0].prove_claim_reduction(
+                            be, claims[m],
+                            [values[j] for j in ins_list[0]], transcript,
+                            mesh=mesh,
+                        )
+                    ]
+            for ins, child in zip(ins_list, outs_):
+                assert len(child) == len(ins)
+                for cid, cls_ in zip(ins, child):
+                    claims[cid].extend(cls_)
         if checkpoint_cb is not None:
             checkpoint_cb(
                 {
@@ -1077,11 +1501,11 @@ def prove_gkr(
 
 def prove_gkr_device(circuit: Circuit, values: list, output_claim_pts: list,
                      dtx):
-    """Device-resident GKR prover (the round-2 fast path): same reduction
-    walk as prove_gkr but claims are device point buffers and ALL transcript
-    traffic stays on device — the host only enqueues per-node programs
-    (async) and never reads a device value. Transcript bytes are identical
-    to prove_gkr, so verify_gkr verifies the resulting proof unchanged.
+    """Device-resident GKR prover: the grouped reduction walk of prove_gkr
+    with device claim-point buffers — ALL transcript traffic stays on
+    device; the host only enqueues per-group programs (async) and never
+    reads a device value. Transcript bytes are identical to prove_gkr, so
+    verify_gkr verifies the resulting proof unchanged.
 
     output_claim_pts: per output node, a list of [v] ext device point
     buffers (None for an empty-point claim, e.g. the LassoNode's).
@@ -1095,20 +1519,35 @@ def prove_gkr_device(circuit: Circuit, values: list, output_claim_pts: list,
     import os
 
     sync_spans = os.environ.get("HYPERGRECO_SYNC_SPANS") == "1"
-    for nid in reversed(circuit.topo_order()):
-        node = circuit.nodes[nid]
-        if node.is_input() or not claims[nid]:
-            continue
-        ins = circuit.node_inputs[nid]
-        with span(f"{type(node).__name__}[{nid}]::dprove"):
-            child, dtx = node.prove_claim_reduction_device(
-                be, claims[nid], [values[j] for j in ins], dtx
-            )
-            if sync_spans:  # profiling: attribute async device time per node
-                jax.block_until_ready(dtx.log_len)
-        assert len(child) == len(ins)
-        for cid, cls_ in zip(ins, child):
-            claims[cid].extend(cls_)
+    for group in circuit.reduction_schedule():
+        for kind, members in _group_units(circuit, claims, group):
+            nodes = [circuit.nodes[m] for m in members]
+            ins_list = [circuit.node_inputs[m] for m in members]
+            if kind == "group":
+                name = f"{type(nodes[0]).__name__}x{len(members)}{members}"
+                with span(f"{name}::dgroup"):
+                    outs_, dtx = type(nodes[0]).prove_group_reduction_device(
+                        be, nodes,
+                        [claims[m] for m in members],
+                        [[values[j] for j in ins] for ins in ins_list],
+                        dtx,
+                    )
+                    if sync_spans:
+                        jax.block_until_ready(dtx.log_len)
+            else:
+                m = members[0]
+                with span(f"{type(nodes[0]).__name__}[{m}]::dprove"):
+                    child, dtx = nodes[0].prove_claim_reduction_device(
+                        be, claims[m],
+                        [values[j] for j in ins_list[0]], dtx,
+                    )
+                    outs_ = [child]
+                    if sync_spans:
+                        jax.block_until_ready(dtx.log_len)
+            for ins, child in zip(ins_list, outs_):
+                assert len(child) == len(ins)
+                for cid, cls_ in zip(ins, child):
+                    claims[cid].extend(cls_)
     return [claims[i] for i in circuit.input_ids()], dtx
 
 
@@ -1119,14 +1558,28 @@ def verify_gkr(circuit: Circuit, output_claims: list, transcript):
     assert len(output_claims) == len(outs)
     for nid, cl in zip(outs, output_claims):
         claims[nid] = [cl]
-    for nid in reversed(circuit.topo_order()):
-        node = circuit.nodes[nid]
-        if node.is_input() or not claims[nid]:
-            continue
-        ins = circuit.node_inputs[nid]
-        with span(f"{type(node).__name__}[{nid}]::verify_claim_reduction"):
-            child = node.verify_claim_reduction(be, claims[nid], transcript)
-        assert len(child) == len(ins)
-        for cid, cls_ in zip(ins, child):
-            claims[cid].extend(cls_)
+    for group in circuit.reduction_schedule():
+        for kind, members in _group_units(circuit, claims, group):
+            nodes = [circuit.nodes[m] for m in members]
+            ins_list = [circuit.node_inputs[m] for m in members]
+            if kind == "group":
+                name = f"{type(nodes[0]).__name__}x{len(members)}{members}"
+                with span(f"{name}::verify_group_reduction"):
+                    outs_ = type(nodes[0]).verify_group_reduction(
+                        be, nodes, [claims[m] for m in members], transcript
+                    )
+            else:
+                m = members[0]
+                with span(
+                    f"{type(nodes[0]).__name__}[{m}]::verify_claim_reduction"
+                ):
+                    outs_ = [
+                        nodes[0].verify_claim_reduction(
+                            be, claims[m], transcript
+                        )
+                    ]
+            for ins, child in zip(ins_list, outs_):
+                assert len(child) == len(ins)
+                for cid, cls_ in zip(ins, child):
+                    claims[cid].extend(cls_)
     return [claims[i] for i in circuit.input_ids()]

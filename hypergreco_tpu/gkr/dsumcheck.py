@@ -256,26 +256,114 @@ def eq_table_dyn(be: Backend, pbuf, bufv: int, plen):
     return prod
 
 
-def eq_rlc(be: Backend, pts, alphas, v: int, npts: int):
-    """sum_i alphas[i] * eq(pts[i], x) as a [2^v] ext table; pts: [npts, v]
-    ext device, alphas: [npts] ext device. Traced twin of
-    circuit._eq_rlc_jit."""
+def batched_rows_ok() -> bool:
+    """Whether [n, N] broadcast-built row tables are safe on this backend.
+
+    XLA:CPU (jaxlib 0.9.0) DEADLOCKS at runtime when slices of a fused 2-D
+    broadcast product chain are added (reproduced: dft_row_mle npts=2,
+    scratch/t_dft_b3.py — every fold variant incl. optimization_barrier
+    hangs; the [n,N] producer alone is fine). On TPU the batched form works
+    and keeps generated code size independent of the instance count, which
+    is the point (per-instance unrolls made grouped programs scale
+    linearly in B). CPU falls back to per-point 1-D chains."""
+    return jax.default_backend() != "cpu"
+
+
+def eq_rows(be: Backend, pts, v: int, n: int):
+    """eq(pts[i], x) rows as an [n, 2^v] ext table; pts: [n, v] ext device.
+    Bit loop vectorized over the point axis (TPU-only form, see
+    batched_rows_ok)."""
     N = 1 << v
     x = jnp.arange(N, dtype=jnp.uint32)
+    prod = None
+    for b in range(v):
+        rb = jax.tree.map(lambda a: a[:, b : b + 1], pts)  # [n, 1]
+        bit = (((x >> b) & 1) == 1)[None, :]  # [1, N]
+        one_minus = be.sub(be.ext.ones((n, 1)), rb)
+        f = be.select(bit, rb, one_minus)  # [n, N] broadcast
+        prod = f if prod is None else be.mul(prod, f)
+        if (b + 1) % 3 == 0:
+            prod = be.fusion_break(prod)
+    if prod is None:
+        prod = be.ext.ones((n, N))
+    return prod
+
+
+def _eq_row_1d(be: Backend, pts, i: int, v: int):
+    """One eq row as a 1-D [2^v] chain (the CPU-safe pattern)."""
+    N = 1 << v
+    x = jnp.arange(N, dtype=jnp.uint32)
+    prod = None
+    for b in range(v):
+        rb = be.index(pts, (i, b))
+        one_minus = be.sub(be.ext.ones(()), rb)
+        f = be.select(((x >> b) & 1) == 1, rb, one_minus)
+        prod = f if prod is None else be.mul(prod, f)
+        if (b + 1) % 3 == 0:
+            prod = be.fusion_break(prod)
+    if prod is None:
+        prod = be.ext.ones((N,))
+    return prod
+
+
+def fold_sum_rows(be: Backend, x, n: int):
+    """Modular sum over a SMALL leading axis: [n, ...] -> [...] via
+    unrolled static-index adds (n is an instance/point count, a handful of
+    rows). Only safe where batched_rows_ok() holds."""
+    acc = jax.tree.map(lambda a: a[0], x)
+    for i in range(1, n):
+        acc = be.add(acc, jax.tree.map(lambda a, i=i: a[i], x))
+        if i % 3 == 0:
+            acc = be.fusion_break(acc)
+    return acc
+
+
+def eq_rlc(be: Backend, pts, alphas, v: int, npts: int):
+    """sum_i alphas[i] * eq(pts[i], x) as a [2^v] ext table; pts: [npts, v]
+    ext device, alphas: [npts] ext device."""
+    if batched_rows_ok():
+        rows = eq_rows(be, pts, v, npts)
+        wr = be.mul(jax.tree.map(lambda a: a[:, None], alphas), rows)
+        return fold_sum_rows(be, wr, npts)
     acc = None
     for i in range(npts):
-        prod = None
-        for b in range(v):
-            rb = be.index(pts, (i, b))
-            bit = ((x >> b) & 1) == 1
-            one_minus = be.sub(be.ext.ones(()), rb)
-            f = be.select(bit, rb, one_minus)
-            prod = f if prod is None else be.mul(prod, f)
-            if (b + 1) % 3 == 0:
-                prod = be.fusion_break(prod)
-        term = be.mul(be.index(alphas, i), prod)
+        term = be.mul(be.index(alphas, i), _eq_row_1d(be, pts, i, v))
         acc = be.fusion_break(term if acc is None else be.add(acc, term))
     return acc
+
+
+def eq_rlc_grouped(be: Backend, pts, alphas, v: int, B: int, npts: int):
+    """Per-instance alpha-combined eq tables [B, 2^v]: pts [B, npts, v] ext,
+    alphas [B*npts] ext (b-major). Eq_b = sum_i alphas[b*npts+i] *
+    eq(pts[b,i], x)."""
+    if batched_rows_ok():
+        flat = jax.tree.map(
+            lambda a: a.reshape((B * npts, v) + a.shape[3:]), pts
+        )
+        rows = eq_rows(be, flat, v, B * npts)  # [B*npts, N]
+        wr = be.mul(jax.tree.map(lambda a: a[:, None], alphas), rows)
+        grp = jax.tree.map(
+            lambda a: a.reshape((B, npts) + a.shape[1:]), wr
+        )
+        # modular sum over the small npts axis
+        acc = jax.tree.map(lambda a: a[:, 0], grp)
+        for i in range(1, npts):
+            acc = be.add(acc, jax.tree.map(lambda a, i=i: a[:, i], grp))
+        return acc  # [B, N]
+    flat = jax.tree.map(lambda a: a.reshape((B * npts, v) + a.shape[3:]), pts)
+    rows = []
+    for b in range(B):
+        acc = None
+        for i in range(npts):
+            term = be.mul(
+                be.index(alphas, b * npts + i),
+                _eq_row_1d(be, flat, b * npts + i, v),
+            )
+            acc = be.fusion_break(
+                term if acc is None else be.add(acc, term)
+            )
+        rows.append(acc)
+    return jax.tree.map(lambda *rs: jnp.stack(rs), *rows)
 
 
 def powers(be: Backend, x, n: int, trailing_one: bool = False):

@@ -83,7 +83,11 @@ def if_leaves(be: Backend, witnesses, gamma, tau, logm: int,
               secure_gamma_tau: bool = False):
     """Traceable init/final fingerprint leaves."""
     gk, tk, g2k, _, _, _, _ = _gt_cast(be, gamma, tau, secure_gamma_tau)
-    a = be.from_ints(list(range(1 << logm)))
+    # address vector 0..M-1 as a generated iota, not an embedded constant
+    mk = be.from_u32 or (
+        lambda col: be.base_cls(col, jnp.zeros_like(col))
+    )
+    a = mk(jnp.arange(1 << logm, dtype=jnp.uint32))
     inits, finals = [], []
     for w in witnesses:
         hi = be.sub(be.add(a, be.mul(gk, w["subtable"])), tk)
@@ -232,6 +236,15 @@ def mc_prove_device(
 ):
     """Pipelined MC prover: 5 enqueued programs, transcript on device
     throughout, bytes identical to mc_rounds / the host prover."""
+    import os
+
+    from ..utils.tracing import span
+
+    sync = (
+        jax.block_until_ready
+        if os.environ.get("HYPERGRECO_SYNC_SPANS") == "1"
+        else (lambda x: x)
+    )
     M = len(witnesses)
     logl = mle.num_vars(be, witnesses[0]["e"])
     logm = mle.num_vars(be, witnesses[0]["final_cts"])
@@ -239,11 +252,21 @@ def mc_prove_device(
         be.spec.name, M, logl, logm, len(dims_by_chunk), tuple(chunk_of),
         secure_gamma_tau,
     )
-    LVL1, w1 = build1(witnesses, gamma, tau)
-    z1, dtx = loop1(LVL1, w1, dtx)
-    dtx = sc(witnesses, dims_by_chunk, z1, gamma, tau, dtx)
-    LVL2, w2 = build2(witnesses, gamma, tau)
-    z2dtx = loop2(LVL2, w2, witnesses, dtx)
+    with span("mc::build1"):
+        LVL1, w1 = build1(witnesses, gamma, tau)
+        sync(w1)
+    with span("mc::loop1"):
+        z1, dtx = loop1(LVL1, w1, dtx)
+        sync(dtx.log_len)
+    with span("mc::rw_sumcheck"):
+        dtx = sc(witnesses, dims_by_chunk, z1, gamma, tau, dtx)
+        sync(dtx.log_len)
+    with span("mc::build2"):
+        LVL2, w2 = build2(witnesses, gamma, tau)
+        sync(w2)
+    with span("mc::loop2"):
+        z2dtx = loop2(LVL2, w2, witnesses, dtx)
+        sync(z2dtx.log_len)
     return z2dtx
 
 

@@ -376,8 +376,16 @@ class LassoNode:
         from . import dmemory_checking as dmc
 
         be = self.be
+        import os
+
+        sync = (
+            jax.block_until_ready
+            if os.environ.get("HYPERGRECO_SYNC_SPANS") == "1"
+            else (lambda x: x)
+        )
         with span("LassoNode::polynomialize"):
             witnesses, dims_gl = self.polynomialize(inputs)
+            sync(dims_gl)
         wdicts = [dmc.witness_dict(w) for w in witnesses]
 
         key = "dprove"
@@ -423,6 +431,7 @@ class LassoNode:
             self._progs[key] = jax.jit(collation)
         with span("LassoNode::collation (device)"):
             r, gamma, tau, dtx = self._progs[key](inputs, wdicts, dtx)
+            sync(dtx.log_len)
         with span("LassoNode::memory_checking (device)"):
             dtx = dmc.mc_prove_device(
                 be, wdicts, list(self.pp.memory_to_dimension_index),

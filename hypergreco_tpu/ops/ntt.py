@@ -67,14 +67,13 @@ def _plan(be_name: str, L: int, inverse: bool):
 
 
 @lru_cache(maxsize=None)
-def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
-    be = get_backend(be_name)
-    L = 1 << logl
+def _plan_dev(be_name: str, L: int, inverse: bool):
+    """Device-resident butterfly plan (bitrev + stacked per-stage index and
+    twiddle arrays), uploaded once. Passed as ARGUMENTS to the stage scan —
+    embedding them as program constants made each NTT executable ~L*logl*16
+    bytes (16 MB at 2^16), which overflowed the TPU code arena."""
     bitrev, stages = _plan(be_name, L, inverse)
-    linv = pow(L, be.spec.p - 2, be.spec.p)
-    # Stage loop as lax.scan over stacked [logl, L] index/twiddle arrays:
-    # compile cost is ONE butterfly stage regardless of logl. (Unrolling all
-    # stages of a BN254 CIOS mul chain took multi-minute XLA compiles.)
+    BR = jnp.asarray(bitrev)
     P0 = jnp.asarray(np.stack([s[0] for s in stages])) if stages else None
     P1 = jnp.asarray(np.stack([s[1] for s in stages])) if stages else None
     TW = (
@@ -82,20 +81,36 @@ def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
         if stages
         else None
     )
+    return BR, P0, P1, TW
 
-    def run(x):
-        x = jax.tree.map(lambda a: a[..., bitrev], x)
-        if stages:
-            def body(acc, st):
-                p0, p1, twid = st
-                lo = jax.tree.map(lambda a: a[..., p0], acc)
-                hi = jax.tree.map(lambda a: a[..., p1], acc)
-                return be.add(lo, be.mul(twid, hi)), None
 
-            x, _ = jax.lax.scan(body, x, (P0, P1, TW))
-        if inverse:
-            x = be.scale(x, linv)
-        return x
+def ntt_body(be: Backend, x, plan, logl: int, inverse: bool):
+    """Traceable NTT core over a device plan (plan arrays are arguments)."""
+    BR, P0, P1, TW = plan
+    L = 1 << logl
+    linv = pow(L, be.spec.p - 2, be.spec.p)
+    x = jax.tree.map(lambda a: a[..., BR], x)
+    if logl:
+        # Stage loop as lax.scan over stacked [logl, L] index/twiddle
+        # arrays: compile cost is ONE butterfly stage regardless of logl.
+        def body(acc, st):
+            p0, p1, twid = st
+            lo = jax.tree.map(lambda a: a[..., p0], acc)
+            hi = jax.tree.map(lambda a: a[..., p1], acc)
+            return be.add(lo, be.mul(twid, hi)), None
+
+        x, _ = jax.lax.scan(body, x, (P0, P1, TW))
+    if inverse:
+        x = be.scale(x, linv)
+    return x
+
+
+@lru_cache(maxsize=None)
+def _ntt_jit(be_name: str, logl: int, inverse: bool, ext: bool):
+    be = get_backend(be_name)
+
+    def run(x, plan):
+        return ntt_body(be, x, plan, logl, inverse)
 
     return jax.jit(run)
 
@@ -106,7 +121,8 @@ def ntt(be: Backend, x, inverse: bool = False):
     logl = n.bit_length() - 1
     assert 1 << logl == n
     assert logl <= be.spec.two_adicity
-    return _ntt_jit(be.spec.name, logl, inverse, be._mod(x) is be.ext)(x)
+    plan = _plan_dev(be.spec.name, n, inverse)
+    return _ntt_jit(be.spec.name, logl, inverse, be._mod(x) is be.ext)(x, plan)
 
 
 # ---------------------------------------------------------------------------
@@ -129,28 +145,106 @@ def _wpow_table(be_name: str, L: int, inverse: bool):
     return be.from_ints(pows)
 
 
+def dft_rows(be: Backend, points, wtab, logl: int, n: int):
+    """d_i(x) = prod_b ((1-r_ib) + r_ib * w^(x 2^b)) as an [n, 2^logl] ext
+    table; points: [n, logl] ext device. The bit loop is vectorized over the
+    point axis (code size independent of n)."""
+    L = 1 << logl
+    prod = None
+    for b in range(logl):
+        # (j << b) mod L as a generated iota (L is a power of two) — a
+        # numpy index array here would embed logl*L*4 bytes of constants
+        # into every FFT program
+        idx = (jnp.arange(L, dtype=jnp.uint32) << b) & (L - 1)
+        wb = jax.tree.map(lambda a: a[None, idx], wtab)  # [1, L]
+        rb = jax.tree.map(lambda a: a[:, b : b + 1], points)  # [n, 1]
+        factor = be.add(
+            be.sub(be.ext.ones((n, 1)), rb), be.mul(rb, wb)
+        )  # [n, L]
+        prod = factor if prod is None else be.mul(prod, factor)
+        if (b + 1) % 3 == 0:
+            prod = be.fusion_break(prod)
+    if prod is None:
+        prod = be.ext.ones((n, L))
+    return prod
+
+
+def _dft_row_1d(be: Backend, points, i: int, wtab, logl: int):
+    """One DFT row as a 1-D [2^logl] chain (the CPU-safe pattern — see
+    dsumcheck.batched_rows_ok)."""
+    L = 1 << logl
+    prod = None
+    for b in range(logl):
+        idx = (jnp.arange(L, dtype=jnp.uint32) << b) & (L - 1)
+        wb = jax.tree.map(lambda a: a[idx], wtab)
+        rb = be.index(points, (i, b))
+        factor = be.add(be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb))
+        prod = factor if prod is None else be.mul(prod, factor)
+        if (b + 1) % 3 == 0:
+            prod = be.fusion_break(prod)
+    if prod is None:
+        prod = be.ext.ones((L,))
+    return prod
+
+
 def dft_row_mle_body(be: Backend, points, alphas, wtab, logl: int,
                      inverse: bool, npoints: int):
     """Traceable core: d(x) = sum_i alpha_i * prod_b ((1-r_ib) + r_ib *
     w^(x 2^b)), the alpha-combined DFT-row MLE table (1/L-scaled for
     inverse). points: [npoints, logl] ext device; alphas: [npoints] ext."""
-    L = 1 << logl
-    linv = pow(L, be.spec.p - 2, be.spec.p)
-    acc = None
-    for i in range(npoints):
-        prod = None
-        for b in range(logl):
-            idx = ((np.arange(L, dtype=np.int64) << b) % L).astype(np.int32)
-            wb = jax.tree.map(lambda a: a[idx], wtab)
-            rb = be.index(points, (i, b))
-            factor = be.add(be.sub(be.ext.ones((L,)), rb), be.mul(rb, wb))
-            prod = factor if prod is None else be.mul(prod, factor)
-            if (b + 1) % 3 == 0:
-                prod = be.fusion_break(prod)
-        term = be.mul(be.index(alphas, i), prod)
-        acc = be.fusion_break(term if acc is None else be.add(acc, term))
+    from ..gkr import dsumcheck as dsc
+
+    if dsc.batched_rows_ok():
+        rows = dft_rows(be, points, wtab, logl, npoints)
+        wr = be.mul(jax.tree.map(lambda a: a[:, None], alphas), rows)
+        acc = dsc.fold_sum_rows(be, wr, npoints)
+    else:
+        acc = None
+        for i in range(npoints):
+            term = be.mul(
+                be.index(alphas, i), _dft_row_1d(be, points, i, wtab, logl)
+            )
+            acc = be.fusion_break(
+                term if acc is None else be.add(acc, term)
+            )
     if inverse:
-        acc = be.scale(acc, linv)
+        acc = be.scale(acc, pow(1 << logl, be.spec.p - 2, be.spec.p))
+    return acc
+
+
+def dft_row_mle_grouped(be: Backend, points, alphas, wtab, logl: int,
+                        inverse: bool, B: int, npts: int):
+    """Per-instance combined d tables [B, 2^logl]: points [B, npts, logl]
+    ext, alphas [B*npts] ext (b-major)."""
+    from ..gkr import dsumcheck as dsc
+
+    L = 1 << logl
+    flat = jax.tree.map(
+        lambda a: a.reshape((B * npts, logl) + a.shape[3:]), points
+    )
+    if dsc.batched_rows_ok():
+        rows = dft_rows(be, flat, wtab, logl, B * npts)
+        wr = be.mul(jax.tree.map(lambda a: a[:, None], alphas), rows)
+        grp = jax.tree.map(lambda a: a.reshape((B, npts) + a.shape[1:]), wr)
+        acc = jax.tree.map(lambda a: a[:, 0], grp)
+        for i in range(1, npts):
+            acc = be.add(acc, jax.tree.map(lambda a, i=i: a[:, i], grp))
+    else:
+        rows = []
+        for b in range(B):
+            row = None
+            for i in range(npts):
+                term = be.mul(
+                    be.index(alphas, b * npts + i),
+                    _dft_row_1d(be, flat, b * npts + i, wtab, logl),
+                )
+                row = be.fusion_break(
+                    term if row is None else be.add(row, term)
+                )
+            rows.append(row)
+        acc = jax.tree.map(lambda *rs: jnp.stack(rs), *rows)
+    if inverse:
+        acc = be.scale(acc, pow(L, be.spec.p - 2, be.spec.p))
     return acc
 
 
