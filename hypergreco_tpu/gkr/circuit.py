@@ -752,9 +752,8 @@ class VanillaNode(Node):
                     lambda *rs: jnp.concatenate(rs, axis=0), *rows
                 )
                 cdev = dsc.coeffs_device(be, [])
-                u, fevals, dtx = dsc.rounds(
-                    be, expr.key(), 0, sv, stk, cdev, dtx,
-                    jnp.int32(sv), jnp.int32(S),
+                u, fevals, dtx = dsc.rounds_static(
+                    be, expr.key(), 0, sv, stk, cdev, dtx
                 )
                 H0 = 2 * P * B
                 lay = np.asarray(
@@ -826,9 +825,8 @@ class VanillaNode(Node):
                     for qi, sq in enumerate(quad)
                 ]
                 expr2 = SumcheckExpr(terms2, Wc + B * npb)
-                v2, fevals2, dtx = dsc.rounds(
-                    be, expr2.key(), 0, sv, stk2, cdev, dtx,
-                    jnp.int32(sv), jnp.int32(S),
+                v2, fevals2, dtx = dsc.rounds_static(
+                    be, expr2.key(), 0, sv, stk2, cdev, dtx
                 )
                 lay2 = np.asarray(
                     [Wc + b * npb + i for b in range(B) for i in range(npb)],
@@ -1167,9 +1165,8 @@ class FftNode(Node):
                     DX, be.ext.ones((1, 1 << logl)),
                 )
                 cdev = dsc.coeffs_device(be, [])
-                u, fevals, dtx = dsc.rounds(
-                    be, expr.key(), 0, logl, stk, cdev, dtx,
-                    jnp.int32(logl), jnp.int32(1 << logl),
+                u, fevals, dtx = dsc.rounds_static(
+                    be, expr.key(), 0, logl, stk, cdev, dtx
                 )
                 lay = np.asarray(
                     [2 * b + 1 for b in range(B)], dtype=np.int32

@@ -25,71 +25,83 @@ from . import dtranscript as dt
 from .grand_product import _gp_expr
 
 
+#: grand-product layer band length: layers l in a band share one buffer of
+#: the band's maximum width, so tree storage is ~2*2^v instead of v*2^(v-1)
+#: (the single full-width LVL buffer was 4.2 GB at the gl16384 rw tree and
+#: OOMed the 16 GB v5e once banding added working copies), and each band's
+#: layer sumchecks run at the band width instead of the full buffer (the
+#: full-width fori was 9.9 s of the 25 s gl16384 prove).
+GP_BAND = 4
+
+
+def _gp_bands(v: int, band: int = GP_BAND):
+    """[(lo, hi)] ascending; band k covers layers l in [lo, hi),
+    1 <= l <= v-1; band buffer width = 2^(hi-1)."""
+    out = []
+    lo = 1
+    while lo < v:
+        hi = min(lo + band, v)
+        out.append((lo, hi))
+        lo = hi
+    return out
+
+
 def gp_tree_build(be: Backend, leaves):
     """Traceable product-tree build over m equal-length [2^v] leaf vectors
-    (base or ext). Returns (LVL [n_lvl, 2m, buf] stacked ext layer buffers
-    — index j <-> layer l = v-1-j, L/R interleaved per instance and
-    zero-padded to the shared buf = 2^(v-1) — plus w1: m [2] ext vectors).
+    (base or ext). Returns (BANDS, w1): BANDS[k] is a [hi-lo, 2m, 2^(hi-1)]
+    stacked ext buffer for band (lo, hi) = _gp_bands(v)[k] — row index
+    (hi-1-l) <-> layer l, L/R interleaved per instance, zero-padded to the
+    band width; w1 = m [2] ext vectors (the two level-1 values).
 
-    Levels below the first run as a lax.scan (dynamic-shift halving, same
-    trick as the sumcheck round fold): the round-2 unrolled build compiled
-    to 40 MB of TPU code per instance count, which blew the device code
-    arena and made EVERY dispatch re-upload executables over the tunnel.
+    All slicing is STATIC (the active width of layer l is 2^l, known at
+    trace time) — no masks, shifts or scans.
 
     Kept SEPARATE from the layer-sumcheck loop: fusing the build into the
     loop program explodes XLA compile time (verify-skill hazard 8)."""
-    from .sumcheck import _shift_cols
-
     m = len(leaves)
     v = mle.num_vars(be, leaves[0])
-    buf = 1 << max(v - 1, 1)
     cur = jax.tree.map(
         lambda *rows: jnp.stack(rows), *[be.lift(T) for T in leaves]
-    )  # [m, 2^v] ext
+    )  # [m, 2^v] ext, V_v
     if v == 1:
-        return None, [be.index(cur, i) for i in range(m)]
+        return [], [be.index(cur, i) for i in range(m)]
 
-    # layer 0 (full width): static halves split
-    L0 = jax.tree.map(lambda a: a[:, :buf], cur)
-    R0 = jax.tree.map(lambda a: a[:, buf:], cur)
-    layer0 = jax.tree.map(
-        lambda l, r: jnp.stack([l, r], axis=1).reshape(2 * m, buf), L0, R0
-    )
-    cur = be.mul(L0, R0)  # [m, buf]
-
-    n_lvl = v - 1
-    if n_lvl > 1:
-        x = jnp.arange(buf, dtype=jnp.int32)
-
-        def body(cur, j):
-            half = jnp.int32(buf) >> j
-            R = _shift_cols(cur, half, buf)
-            act = (x < half)[None, :]
-            zero = be.ext.zeros((m, buf))
-            Lm = be.select(act, cur, zero)
-            Rm = be.select(act, R, zero)
-            layer = jax.tree.map(
-                lambda l, r: jnp.stack([l, r], axis=1).reshape(2 * m, buf),
-                Lm, Rm,
+    bands = _gp_bands(v)
+    band_bufs = [None] * len(bands)
+    for bi in range(len(bands) - 1, -1, -1):
+        lo, hi = bands[bi]
+        W = 1 << (hi - 1)
+        layers = []
+        for l in range(hi - 1, lo - 1, -1):
+            w = 1 << l
+            A = jax.tree.map(lambda a: a[:, :w], cur)
+            B = jax.tree.map(lambda a: a[:, w : 2 * w], cur)
+            pair = jax.tree.map(
+                lambda a_, b_: jnp.stack([a_, b_], axis=1).reshape(
+                    2 * m, w
+                ),
+                A, B,
             )
-            return be.select(act, be.mul(cur, R), zero), layer
-
-        cur, rest = jax.lax.scan(
-            body, cur, jnp.arange(1, n_lvl, dtype=jnp.int32)
+            if w != W:
+                pair = jax.tree.map(
+                    lambda a: jnp.pad(
+                        a, [(0, 0)] * (a.ndim - 1) + [(0, W - a.shape[-1])]
+                    ),
+                    pair,
+                )
+            layers.append(pair)
+            cur = be.mul(A, B)  # V_l, [m, 2^l]
+        band_bufs[bi] = jax.tree.map(
+            lambda *rows: jnp.stack(rows), *layers
         )
-        LVL = jax.tree.map(
-            lambda a, b: jnp.concatenate([a[None], b]), layer0, rest
-        )
-    else:
-        LVL = jax.tree.map(lambda a: a[None], layer0)
-    # active prefix of cur is now exactly 2 columns
+    # cur is now V_1: [m, 2]
     w1 = [jax.tree.map(lambda a, i=i: a[i, :2], cur) for i in range(m)]
-    return LVL, w1
+    return band_bufs, w1
 
 
-def gp_layer_rounds(be: Backend, LVL, w1, v: int, dtx):
+def gp_layer_rounds(be: Backend, BANDS, w1, v: int, dtx):
     """Traceable grand-product transcript phase: roots/W1 messages plus the
-    per-layer batched sumcheck loop over the pre-built LVL buffers.
+    per-layer batched sumcheck loop over the pre-built band buffers.
     Returns (pbuf [v] ext point buffer, dtx)."""
     m = len(w1)
     roots = [be.mul(be.index(T, 0), be.index(T, 1)) for T in w1]
@@ -113,46 +125,62 @@ def gp_layer_rounds(be: Backend, LVL, w1, v: int, dtx):
     if v == 1:
         return pbuf, dtx
 
-    # ---- layers l = 1..v-1: batched deg-3 sumchecks ----
-    buf = 1 << max(v - 1, 1)
+    # ---- layers l = 1..v-1: batched deg-3 sumchecks, processed in SIZE
+    # BANDS: band (lo, hi) runs a fori over its layers on its own
+    # [hi-lo, 2m, 2^(hi-1)] buffer (layer l's active prefix is 2^l). The
+    # old single full-width fori made every small layer cost a full
+    # 2^(v-1)-wide round (9.9 s of the 25 s gl16384 prove) ----
     cdev = dsc.powers(be, alpha, m, trailing_one=True)
     expr_key = _gp_expr(m).key()
-    bufv = max(v - 1, 1)
-    ones_row = be.ext.ones((1, buf))
 
-    def layer_body(l, carry):
-        dtx, pbuf = carry
-        jl = (v - 1) - l
-        tabs = jax.tree.map(lambda a: a[jl], LVL)  # [2m, buf]
-        eq = dsc.eq_table_dyn(be, pbuf, bufv, l)
-        stk = jax.tree.map(
-            lambda e, t, o: jnp.concatenate([e[None], t, o]),
-            eq, tabs, ones_row,
-        )
-        chal, fevals, dtx = dsc.rounds(
-            be, expr_key, m, bufv, stk, cdev, dtx, l, jnp.left_shift(1, l)
-        )
-        dtx = dt.write_ext(
-            be, dtx, jax.tree.map(lambda a: a[1:], fevals)
-        )
-        mu, dtx = dt.squeeze_challenge(be, dtx)
-        # pbuf[0:l] = chal[0:l]; pbuf[l] = mu
-        idx = jnp.arange(v, dtype=jnp.int32)
-        chal_pad = jax.tree.map(
-            lambda c: jnp.concatenate(
-                [c, jnp.zeros((v - bufv,) + c.shape[1:], dtype=c.dtype)]
-            ),
-            chal,
-        )
-        pbuf = jax.tree.map(
-            lambda p, c, mv: jnp.where(
-                idx < l, c, jnp.where(idx == l, mv, p)
-            ),
-            pbuf, chal_pad, mu,
-        )
-        return dtx, pbuf
+    def make_band_body(band_buf, lo: int, hi: int):
+        logw = hi - 1
+        W = 1 << logw
+        ones_row = be.ext.ones((1, W))
 
-    dtx, pbuf = jax.lax.fori_loop(1, v, layer_body, (dtx, pbuf))
+        def layer_body(l, carry):
+            dtx, pbuf = carry
+            jl = (hi - 1) - l  # row index within the band buffer
+            tabs = jax.tree.map(lambda a: a[jl], band_buf)  # [2m, W]
+            eq = dsc.eq_table_dyn(be, pbuf, logw, l)
+            stk = jax.tree.map(
+                lambda e, t, o: jnp.concatenate([e[None], t, o]),
+                eq, tabs, ones_row,
+            )
+            chal, fevals, dtx = dsc.rounds(
+                be, expr_key, m, logw, stk, cdev, dtx, l,
+                jnp.left_shift(1, l),
+            )
+            dtx = dt.write_ext(
+                be, dtx, jax.tree.map(lambda a: a[1:], fevals)
+            )
+            mu, dtx = dt.squeeze_challenge(be, dtx)
+            # pbuf[0:l] = chal[0:l]; pbuf[l] = mu
+            idx = jnp.arange(v, dtype=jnp.int32)
+            chal_pad = jax.tree.map(
+                lambda c: jnp.concatenate(
+                    [c, jnp.zeros((v - logw,) + c.shape[1:], dtype=c.dtype)]
+                )
+                if logw < v
+                else c[:v],
+                chal,
+            )
+            pbuf = jax.tree.map(
+                lambda p, c, mv: jnp.where(
+                    idx < l, c, jnp.where(idx == l, mv, p)
+                ),
+                pbuf, chal_pad, mu,
+            )
+            return dtx, pbuf
+
+        return layer_body
+
+    carry = (dtx, pbuf)
+    for (lo, hi), band_buf in zip(_gp_bands(v), BANDS):
+        carry = jax.lax.fori_loop(
+            lo, hi, make_band_body(band_buf, lo, hi), carry
+        )
+    dtx, pbuf = carry
     return pbuf, dtx
 
 

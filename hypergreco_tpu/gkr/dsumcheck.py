@@ -145,42 +145,26 @@ def _stack_scalars(be: Backend, scalars):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *scalars)
 
 
-def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
-           stk, cdev, dtx, v, l_act):
-    """Traced fused sumcheck: v rounds (v traced int32) over the stacked
-    [T+1, 2^logn] ext buffer `stk` (last row ones).
-
-    Returns (chal [logn] ext buffer — rows >= v are garbage, final_evals
-    [T] ext, dtx)."""
+def _round_body_maker(be: Backend, expr_key: tuple, num_coeffs: int,
+                      W: int, l_act, chal_len: int, chal_off: int = 0):
+    """One sumcheck round over a [T+1, W] buffer (W static): returns a
+    fori-compatible body(j, (stk, dtx, chal)). j is the round index
+    RELATIVE to the buffer width (pairs active: l_act >> (j+1)); the bound
+    challenge is written to chal[chal_off + j]."""
     num_tables, terms = expr_key
     degree = max(len(f) for _, f in terms)
     ts = _eval_points(degree)
-    N = 1 << logn
     fidx, cidx = _expr_layout(expr_key, num_coeffs, degree)
     nterms = len(terms)
-
-    chal0 = be.zeros((logn,), ext=True)
-
     npts = len(ts)
-    # eval points as a [P, 1, 1] field broadcast: T_t = stk + t * diffs is
-    # computed for ALL points in one batched expression, so the term-product
-    # and digest code is emitted ONCE instead of deg+1 times (the unrolled
-    # form made this program ~11 MB of TPU code — see keccak_f's docstring
-    # for why executable size is the TPU-tunnel bottleneck)
-    tdev = be.reshape(be.from_ints(list(ts), ext=True), (npts, 1, 1))
 
-    # Compaction fold, all-static slices: LSB-first binding pairs adjacent
-    # elements (2i, 2i+1) — even/odd stride-2 slices — and the fold writes
-    # the compacted half back to the buffer front (zero tail). No dynamic
-    # gathers: the round-2 stride-fold's 3 traced-shift gathers per round
-    # dominated this program's generated code (~7 of 11 MB).
-    x = jnp.arange(N // 2, dtype=jnp.int32) if N > 1 else jnp.zeros(
+    x = jnp.arange(W // 2, dtype=jnp.int32) if W > 1 else jnp.zeros(
         (1,), jnp.int32
     )
 
-    def body(j, carry):
+    def body(j, carry, cdev, tdev):
         stk, dtx, chal = carry
-        even = jax.tree.map(lambda a: a[..., 0::2], stk)  # [T+1, N/2]
+        even = jax.tree.map(lambda a: a[..., 0::2], stk)  # [T+1, W/2]
         odd = jax.tree.map(lambda a: a[..., 1::2], stk)
         diffs = be.sub(odd, even)
         # pairs active this round: l_act >> (j+1)
@@ -188,7 +172,7 @@ def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
         TB = be.add(
             jax.tree.map(lambda a: a[None], even),
             be.mul(tdev, jax.tree.map(lambda a: a[None], diffs)),
-        )  # [P, T+1, N/2]
+        )  # [P, T+1, W/2]
         acc = None
         for lo_i in range(0, nterms, _TERM_BLOCK):
             sl = slice(lo_i, min(lo_i + _TERM_BLOCK, nterms))
@@ -201,14 +185,14 @@ def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
             cs = jax.tree.map(lambda a: a[None, ci_blk, None], cdev)
             prod = be.mul(prod, cs)
             b = sl.stop - sl.start
-            prod = be.select(mask, prod, be.ext.zeros((npts, b, N // 2)))
+            prod = be.select(mask, prod, be.ext.zeros((npts, b, W // 2)))
             d = digest_batch(be, prod, npts)
             acc = d if acc is None else be.add(acc, d)
         ev = acc  # [P] ext, in ts order
         dtx = dt.write_ext(be, dtx, ev)
         r, dtx = dt.squeeze_challenge(be, dtx)
-        folded = be.add(even, be.mul(r, diffs))  # [T+1, N/2]
-        # zero-pad back to [T+1, N] via the HLO pad op — a concatenate here
+        folded = be.add(even, be.mul(r, diffs))  # [T+1, W/2]
+        # zero-pad back to [T+1, W] via the HLO pad op — a concatenate here
         # explodes XLA:CPU's fusion-emitter compile time inside fori_loop
         # bodies (measured 57 s at logl=9; hazard 8)
         stk = jax.tree.map(
@@ -217,15 +201,74 @@ def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
             ),
             folded,
         )
-        chal = jax.tree.map(lambda c, rv: c.at[j].set(rv), chal, r)
+        chal = jax.tree.map(
+            lambda c, rv: c.at[chal_off + j].set(rv), chal, r
+        )
         return stk, dtx, chal
 
-    if N > 1:
-        stk, dtx, chal = jax.lax.fori_loop(0, v, body, (stk, dtx, chal0))
-    else:
-        chal = chal0
+    return body
+
+
+#: staged-compaction stage length: the buffer is SLICED in half after every
+#: STAGE_ROUNDS rounds, so total per-sumcheck work is ~3.4*N field ops
+#: instead of v*N (the fixed-buffer fori processed the full padded buffer
+#: every round: 19N at the gl16384 collation). Code size scales with the
+#: stage count (ceil(logn / STAGE_ROUNDS) copies of the round body).
+STAGE_ROUNDS = 3
+
+
+def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
+           stk, cdev, dtx, v, l_act):
+    """Traced fused sumcheck with STAGED COMPACTION: v rounds (v may be a
+    traced int32 <= logn) over the stacked [T+1, 2^logn] ext buffer `stk`
+    (last row ones). The compaction fold writes the surviving half to the
+    buffer front, so after every STAGE_ROUNDS rounds the buffer is
+    statically sliced in half; stages past v execute zero rounds.
+
+    Returns (chal [logn] ext buffer — rows >= v are garbage, final_evals
+    [T] ext, dtx)."""
+    num_tables, _ = expr_key
+    degree = max(len(f) for _, f in expr_key[1])
+    ts = _eval_points(degree)
+    N = 1 << logn
+    chal = be.zeros((logn,), ext=True)
+    # eval points as a [P, 1, 1] field broadcast: T_t = stk + t * diffs is
+    # computed for ALL points in one batched expression, so the term-product
+    # and digest code is emitted ONCE instead of deg+1 times (the unrolled
+    # form made this program ~11 MB of TPU code — see keccak_f's docstring
+    # for why executable size is the TPU-tunnel bottleneck)
+    tdev = be.reshape(be.from_ints(list(ts), ext=True), (len(ts), 1, 1))
+    done = 0
+    while done < logn:
+        n_st = min(STAGE_ROUNDS, logn - done)
+        W = N >> done
+        mk = _round_body_maker(
+            be, expr_key, num_coeffs, W,
+            jax.lax.shift_right_logical(
+                jnp.asarray(l_act, dtype=jnp.int32), done
+            ),
+            logn, chal_off=done,
+        )
+        n_exec = jnp.clip(jnp.asarray(v, dtype=jnp.int32) - done, 0, n_st)
+        stk, dtx, chal = jax.lax.fori_loop(
+            0, n_exec, lambda j, c, mk=mk: mk(j, c, cdev, tdev),
+            (stk, dtx, chal),
+        )
+        done += n_st
+        if done < logn:
+            keep = W >> n_st
+            stk = jax.tree.map(lambda a: a[..., :keep], stk)
     final = jax.tree.map(lambda a: a[:num_tables, 0], stk)
     return chal, final, dtx
+
+
+def rounds_static(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
+                  stk, cdev, dtx):
+    """rounds() for the common fully-active case v == logn."""
+    return rounds(
+        be, expr_key, num_coeffs, logn, stk, cdev, dtx,
+        jnp.int32(logn), jnp.int32(1 << logn),
+    )
 
 
 @lru_cache(maxsize=None)

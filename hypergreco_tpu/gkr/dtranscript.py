@@ -107,6 +107,24 @@ def common_ext(be: Backend, dtx: DTx, x) -> DTx:
     return DTx(_absorb(dtx.sponge, lo, hi), dtx.log_lo, dtx.log_hi, dtx.log_len)
 
 
+def common_lanes(dtx: DTx, lo, hi) -> DTx:
+    """Absorb raw uint32 lane pairs (e.g. a 32-byte statement digest from
+    the host transcript's common_statement) without writing to the proof
+    stream."""
+    return DTx(
+        _absorb(dtx.sponge, lo, hi), dtx.log_lo, dtx.log_hi, dtx.log_len
+    )
+
+
+def digest_to_lanes(digest: bytes):
+    """32-byte host digest -> (lo[4], hi[4]) uint32 device lane planes."""
+    lanes = np.frombuffer(digest, dtype="<u8")
+    return (
+        jnp.asarray((lanes & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+        jnp.asarray((lanes >> np.uint64(32)).astype(np.uint32)),
+    )
+
+
 def write_ext(be: Backend, dtx: DTx, x) -> DTx:
     """Absorb ext element(s) AND append them to the proof-felt log."""
     lo, hi = _ext_lanes(be, x)

@@ -375,12 +375,58 @@ def prove_sum_check(
     ndev = mesh.shape["hc"] if mesh is not None else 1
     n_local = (1 << bv) // ndev if mesh is not None else 0
     sharded = mesh is not None and ndev > 1 and n_local >= 4
+    multihost = sharded and len(
+        {d.process_index for d in mesh.devices.flat}
+    ) > 1
+
+    def _fetch_packed(packed):
+        """Packed digests -> host numpy. Under a multi-HOST mesh the shard
+        axis is not fully addressable: replicate via a jitted identity
+        (inserts the cross-process all-gather) so every host fetches and
+        finishes the identical transcript."""
+        import numpy as np
+
+        if multihost:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            packed = jax.jit(
+                lambda a: a, out_shardings=NamedSharding(mesh, P())
+            )(packed)
+        return np.asarray(packed)
+
+    def _g(x):
+        """Process-local value -> fully-replicated GLOBAL array (multi-host
+        jit inputs must be global; every process holds the identical copy
+        because the transcript is host-replicated)."""
+        if not multihost:
+            return x
+        import numpy as np
+        from jax.experimental import multihost_utils as mh
+        from jax.sharding import PartitionSpec as P
+
+        return jax.tree.map(
+            lambda a: mh.host_local_array_to_global_array(
+                np.asarray(a), mesh, P()
+            ),
+            x,
+        )
+
+    def _reshard(x, spec_):
+        """Resharding via a jitted identity (out_shardings): plain
+        device_put cannot reshard across processes."""
+        from jax.sharding import NamedSharding
+
+        sh = NamedSharding(mesh, spec_)
+        if multihost:
+            return jax.jit(lambda a: a, out_shardings=sh)(x)
+        return jax.tree.map(lambda a: jax.device_put(a, sh), x)
+
     if sharded:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
         mkey = _mesh_key(mesh)
-        sh = NamedSharding(mesh, P(None, "hc"))
-        stk = jax.tree.map(lambda a: jax.device_put(a, sh), stk)
+        stk = _reshard(_g(stk), P(None, "hc"))
+        cdev = _g(cdev)
 
     r = be.scalar(spec.zero, ext=True)  # unused in round 0
     claim = spec._c(claim)
@@ -390,10 +436,9 @@ def prove_sum_check(
         sc = jnp.int32(1 << rnd)  # active stride for this round's evals
         if sharded and 2 * (1 << rnd) > n_local:
             # stride reached the shard width: gather, continue replicated
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
 
-            rep = NamedSharding(mesh, P(None, None))
-            stk = jax.tree.map(lambda a: jax.device_put(a, rep), stk)
+            stk = _reshard(stk, P(None, None))
             sharded = False
         if sharded:
             fn = _round_sharded_jit(
@@ -401,9 +446,14 @@ def prove_sum_check(
             )
         else:
             fn = _round_jit(spec.name, ekey, len(coeffs), bv, fold=rnd > 0)
+        if multihost:
+            r, sc, l_act = _g(r), _g(sc), _g(l_act)
         stk, digests = fn(stk, cdev, r, sc, l_act)
         packed = _pack_jit(spec.name)(digests)
-        evals = [spec._c(v) for v in be.packed_digest_values(packed)]
+        evals = [
+            spec._c(v)
+            for v in be.packed_digest_values(_fetch_packed(packed))
+        ]
         transcript.write_felts_ext(evals)
         rj = transcript.squeeze_challenge()
         challenges.append(rj)
@@ -412,12 +462,11 @@ def prove_sum_check(
         r = be.scalar(rj, ext=True)
 
     if sharded:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax.sharding import PartitionSpec as P
 
-        rep = NamedSharding(mesh, P(None, None))
-        stk = jax.tree.map(lambda a: jax.device_put(a, rep), stk)
+        stk = _reshard(stk, P(None, None))
     final_dev = _final_fold_jit(spec.name, len(tables), bv)(
-        stk, r, jnp.int32(1 << (v - 1))
+        stk, _g(r) if multihost else r, _g(jnp.int32(1 << (v - 1)))
     )
     final_evals = [spec._c(x) for x in be.to_host(final_dev)]
     return claim, challenges, final_evals

@@ -149,9 +149,8 @@ def rw_sumcheck(be: Backend, witnesses, chunk_of, dims_by_chunk, z1,
         lambda *rows: jnp.stack(rows),
         *([be.lift(T) for T in tables] + [be.ext.ones((1 << logl,))]),
     )
-    x_chal, fevals, dtx = dsc.rounds(
-        be, expr.key(), len(coeff_scalars), logl, stk, cdev, dtx,
-        jnp.int32(logl), jnp.int32(1 << logl),
+    x_chal, fevals, dtx = dsc.rounds_static(
+        be, expr.key(), len(coeff_scalars), logl, stk, cdev, dtx
     )
     layout = list(range(1, 1 + num_chunks))
     for m in range(M):

@@ -223,17 +223,30 @@ class LassoNode:
                 for c in range(num_chunks)
             ]
             dims_gl = [to_base(d) for d in dims_int]
+            # ONE stable sort per chunk (not per memory): memories sharing a
+            # chunk reuse the chunk's (addr, row)-order; each memory's
+            # selector-masked read counters come from a segmented exclusive
+            # cumsum of its selector in that order (the per-memory argsort
+            # made polynomialize ~25% of the gl16384 prove).
+            chunk_sorted = []
+            for c in range(num_chunks):
+                addr = dims_int[c]
+                order = jnp.argsort(addr, stable=True)
+                saddr = addr[order]
+                first = jnp.searchsorted(saddr, saddr, side="left")
+                chunk_sorted.append((order, first))
             wits = []
             for m in range(len(mem_chunk)):
-                addr = dims_int[mem_chunk[m]]
+                c = mem_chunk[m]
+                addr = dims_int[c]
                 sel = sel_int[m]
-                key = jnp.where(sel > 0, addr, M)
-                order = jnp.argsort(key, stable=True)
-                skey = key[order]
-                first = jnp.searchsorted(skey, skey, side="left")
-                ranks = jnp.arange(L, dtype=jnp.int32) - first.astype(jnp.int32)
+                order, first = chunk_sorted[c]
+                sel_sorted = (sel[order] > 0).astype(jnp.int32)
+                cum = jnp.cumsum(sel_sorted) - sel_sorted  # exclusive
+                ranks = cum - cum[first]
                 read_ts = jnp.zeros(L, dtype=jnp.int32).at[order].set(ranks)
                 read_ts = jnp.where(sel > 0, read_ts, 0)
+                key = jnp.where(sel > 0, addr, M)
                 final = (
                     jnp.zeros(M + 1, dtype=jnp.int32)
                     .at[key]
@@ -247,7 +260,7 @@ class LassoNode:
                 )
                 wits.append(
                     {
-                        "dim": dims_gl[mem_chunk[m]],
+                        "dim": dims_gl[c],
                         "e": e,
                         "read_ts": to_base(read_ts),
                         "final_cts": to_base(final),
@@ -414,9 +427,8 @@ class LassoNode:
                     *(tables + [be.ext.ones((1 << nv,))]),
                 )
                 cdev = dsc.coeffs_device(be, weights)
-                x, fevals, dtx = dsc.rounds(
-                    be, expr.key(), len(weights), nv, stk, cdev, dtx,
-                    jnp.int32(nv), jnp.int32(1 << nv),
+                x, fevals, dtx = dsc.rounds_static(
+                    be, expr.key(), len(weights), nv, stk, cdev, dtx
                 )
                 lay = np.asarray(
                     [2 + 2 * m for m in range(len(wds))], dtype=np.int32

@@ -15,6 +15,7 @@ point, 0), sum node (r, ct0is~(r))], with r squeezed before anything else).
 from __future__ import annotations
 
 import json
+import os
 from typing import List
 
 import jax
@@ -529,11 +530,12 @@ class BfvEncrypt:
             with span("eval circuit"):
                 values = sync(circuit.evaluate(inputs))
             with span("eval output"):
-                # bind the public statement before squeezing the output
-                # point (deviation from sk_encryption_circuit.rs:443-447,
-                # where r is squeezed from an empty transcript — see
-                # PROTOCOL.md "statement binding")
-                transcript.common_felts(ct0is_dense)
+                # bind the public statement (as keccak256(ct0is) — see
+                # common_statement) before squeezing the output point
+                # (deviation from sk_encryption_circuit.rs:443-447, where r
+                # is squeezed from an empty transcript — see PROTOCOL.md
+                # "statement binding")
+                transcript.common_statement(ct0is_dense)
                 point = transcript.squeeze_challenges(self.ct0is_log2_size())
                 ct0is_value = mle.evaluate(be, be.from_ints(ct0is_dense), point)
                 output_claims = [([], spec.zero), (point, ct0is_value)]
@@ -557,6 +559,8 @@ class BfvEncrypt:
                 inputs = [be.from_ints(x) for x in inputs_dense]
             with span("eval circuit"):
                 values = circuit.evaluate(inputs)
+                if os.environ.get("HYPERGRECO_SYNC_SPANS") == "1":
+                    jax.block_until_ready(jax.tree.leaves(values))
 
         with span("GKR prove (device)"):
             # proof-felt capacity: measured 3,632 lanes at GL 1024_1x27 and
@@ -568,13 +572,21 @@ class BfvEncrypt:
             if not hasattr(self, "_dpoint_jit"):
                 v = self.ct0is_log2_size()
 
-                def _bind_and_squeeze(ct0is_dev, dtx):
-                    dtx = dt.common_ext(be, dtx, ct0is_dev)
+                def _bind_and_squeeze(dlo, dhi, dtx):
+                    dtx = dt.common_lanes(dtx, dlo, dhi)
                     return dt.squeeze_challenges(be, dtx, v)
 
                 self._dpoint_jit = jax.jit(_bind_and_squeeze)
             dtx = dt.new_dtx(cap)
-            point, dtx = self._dpoint_jit(be.from_ints(ct0is_dense), dtx)
+            # statement digest computed HOST-side (common_statement parity):
+            # absorbing the raw 2^18-felt ct0is stream through the
+            # sequential device keccak cost ~4 s per gl16384 prove
+            from ...utils.transcript import TranscriptWriter as _TW
+
+            tw = _TW(be.spec)
+            digest = tw.common_statement(ct0is_dense)
+            dlo, dhi = dt.digest_to_lanes(digest)
+            point, dtx = self._dpoint_jit(dlo, dhi, dtx)
             # output order = insertion order: [lasso_ranges (empty point,
             # ignored by the node), sum_node (point)]
             out_pts = [[None], [point]]
@@ -612,7 +624,7 @@ class BfvEncrypt:
         for z in range(min(len(ct0is), self.K)):
             ct0i = poly.new_shifted(ct0is[z], 1 << self.log2_size, p)
             ct0is_dense.extend(ct0i[1:] + [0])
-        transcript.common_felts(ct0is_dense)
+        transcript.common_statement(ct0is_dense)
         point = transcript.squeeze_challenges(self.ct0is_log2_size())
         ct0is_value = npf.mle_eval_ints(ct0is_dense, point)
         output_claims = [([], spec.zero), (point, ct0is_value)]

@@ -324,3 +324,18 @@ def mul(a: FR, b: FR) -> FR:
     ab = _mont_mul_digits(da, db)  # = a*b*R^-1
     r2 = [jnp.full_like(da[0], (_R2 >> (16 * i)) & _MASK) for i in range(DIGITS)]
     return _fr_from_digits(_mont_mul_digits(ab, r2))
+
+
+def from_digest_lanes(dlo, dhi) -> FR:
+    """32-byte keccak digest (4 LE uint64 lanes as uint32 pairs) -> 0-d FR:
+    int.from_bytes(digest, 'little') % p (fe_mod_from_le_bytes parity,
+    transcript.rs:202). Used by the device transcript's squeeze; the
+    256-bit value is folded lane-by-lane through the Montgomery modmul
+    (lane_i * (2^(64 i) mod p))."""
+    acc = None
+    for i in range(4):
+        z = jnp.zeros_like(dlo[i])
+        li = FR(dlo[i], dhi[i], z, z, z, z, z, z)
+        term = li if i == 0 else mul(li, scalar(pow(2, 64 * i, P)))
+        acc = term if acc is None else add(acc, term)
+    return acc

@@ -40,6 +40,21 @@ class _TranscriptBase:
         for x in xs:
             self.common_felt_ext(x)
 
+    def common_statement(self, xs) -> bytes:
+        """Bind a LARGE public statement (e.g. the dense ct0is vector) by
+        absorbing keccak256(canonical felt bytes) instead of the raw
+        stream: collision resistance gives the same binding, and the
+        device transcript absorbs 32 bytes instead of megabytes (the
+        sequential on-device keccak absorb of the 2^18-felt gl16384
+        statement cost ~4 s of every prove). Returns the digest so the
+        device prover can absorb the identical bytes."""
+        h = new_keccak256()
+        for x in xs:
+            h.update(self.spec.felt_to_bytes(x))
+        digest = h.finalize_reset()
+        self._hash.update(digest)
+        return digest
+
     # -- challenges --
 
     def squeeze_base(self) -> int:

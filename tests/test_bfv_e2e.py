@@ -55,6 +55,13 @@ def test_sk_enc_valid_1024(setup_1024, proof_1024):
     assert bfv.verify(vk, inputs_dense, args["ct0is"], proof_1024)
 
 
+def test_sk_enc_1024_proof_size_pinned(proof_1024):
+    """Proof size is deterministic per circuit; a transcript-format
+    regression must fail HERE, not in a bench that may never complete
+    (round-3 VERDICT weak #8)."""
+    assert len(proof_1024) == 28000
+
+
 @pytest.mark.skipif(not SLOW, reason="set HYPERGRECO_SLOW=1 (full-scale "
                     "device prove is ~25 min on the CPU test backend)")
 def test_sk_enc_device_host_proof_parity(setup_1024, proof_1024):
