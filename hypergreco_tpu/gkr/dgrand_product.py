@@ -33,17 +33,28 @@ from .grand_product import _gp_expr
 #: full-width fori was 9.9 s of the 25 s gl16384 prove).
 GP_BAND = 4
 
+#: per-band tree-buffer byte budget: wide top bands are split so a single
+#: band buffer never exceeds this (the 4-layer top band of the gl32768 rw
+#: tree was [4, 100, 2^20] — several GB — and OOMed the 16 GB chip)
+GP_BAND_BYTES = 1 << 30
 
-def _gp_bands(v: int, band: int = GP_BAND):
+
+def _gp_bands(v: int, rows: int = 0, elem_bytes: int = 8):
     """[(lo, hi)] ascending; band k covers layers l in [lo, hi),
-    1 <= l <= v-1; band buffer width = 2^(hi-1)."""
-    out = []
-    lo = 1
-    while lo < v:
-        hi = min(lo + band, v)
-        out.append((lo, hi))
-        lo = hi
-    return out
+    1 <= l <= v-1; band buffer width = 2^(hi-1), buffer shape
+    [hi-lo, rows, 2^(hi-1)]. Bands hold at most GP_BAND layers AND at most
+    GP_BAND_BYTES of buffer (planned top-down)."""
+    bands = []
+    hi = v
+    while hi > 1:
+        W = 1 << (hi - 1)
+        nl = GP_BAND
+        if rows:
+            nl = max(1, min(nl, GP_BAND_BYTES // max(rows * W * elem_bytes, 1)))
+        lo = max(1, hi - nl)
+        bands.append((lo, hi))
+        hi = lo
+    return list(reversed(bands))
 
 
 def gp_tree_build(be: Backend, leaves):
@@ -54,19 +65,22 @@ def gp_tree_build(be: Backend, leaves):
     band width; w1 = m [2] ext vectors (the two level-1 values).
 
     All slicing is STATIC (the active width of layer l is 2^l, known at
-    trace time) — no masks, shifts or scans.
+    trace time) — no masks, shifts or scans. The tree stays in the LEAVES'
+    field (base for the default insecure-gamma/tau path — half the bytes of
+    the old ext storage; the layer sumcheck lifts rows when stacking).
 
     Kept SEPARATE from the layer-sumcheck loop: fusing the build into the
     loop program explodes XLA compile time (verify-skill hazard 8)."""
     m = len(leaves)
     v = mle.num_vars(be, leaves[0])
     cur = jax.tree.map(
-        lambda *rows: jnp.stack(rows), *[be.lift(T) for T in leaves]
-    )  # [m, 2^v] ext, V_v
+        lambda *rows: jnp.stack(rows), *leaves
+    )  # [m, 2^v], V_v (leaves' field)
     if v == 1:
         return [], [be.index(cur, i) for i in range(m)]
 
-    bands = _gp_bands(v)
+    elem_bytes = 4 * len(jax.tree.leaves(be.index(cur, (0, 0))))
+    bands = _gp_bands(v, rows=2 * m, elem_bytes=elem_bytes)
     band_bufs = [None] * len(bands)
     for bi in range(len(bands) - 1, -1, -1):
         lo, hi = bands[bi]
@@ -104,6 +118,9 @@ def gp_layer_rounds(be: Backend, BANDS, w1, v: int, dtx):
     per-layer batched sumcheck loop over the pre-built band buffers.
     Returns (pbuf [v] ext point buffer, dtx)."""
     m = len(w1)
+    # w1 may be base-typed (the tree stays in the leaves' field): lift so
+    # the transcript messages keep their DEGREE-felt encoding
+    w1 = [be.lift(T) for T in w1]
     roots = [be.mul(be.index(T, 0), be.index(T, 1)) for T in w1]
 
     # ---- roots + alpha ----
@@ -141,7 +158,9 @@ def gp_layer_rounds(be: Backend, BANDS, w1, v: int, dtx):
         def layer_body(l, carry):
             dtx, pbuf = carry
             jl = (hi - 1) - l  # row index within the band buffer
-            tabs = jax.tree.map(lambda a: a[jl], band_buf)  # [2m, W]
+            tabs = be.lift(
+                jax.tree.map(lambda a: a[jl], band_buf)
+            )  # [2m, W] ext
             eq = dsc.eq_table_dyn(be, pbuf, logw, l)
             stk = jax.tree.map(
                 lambda e, t, o: jnp.concatenate([e[None], t, o]),
@@ -176,7 +195,12 @@ def gp_layer_rounds(be: Backend, BANDS, w1, v: int, dtx):
         return layer_body
 
     carry = (dtx, pbuf)
-    for (lo, hi), band_buf in zip(_gp_bands(v), BANDS):
+    for band_buf in BANDS:
+        # band boundaries recovered from the buffer shape ([nl, 2m, W]):
+        # hi = log2(W)+1, lo = hi-nl — no separate plan to keep in sync
+        shape = jax.tree.leaves(band_buf)[0].shape
+        hi = shape[-1].bit_length()  # log2(W) + 1
+        lo = hi - shape[0]
         carry = jax.lax.fori_loop(
             lo, hi, make_band_body(band_buf, lo, hi), carry
         )

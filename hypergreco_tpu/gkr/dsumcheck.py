@@ -145,12 +145,115 @@ def _stack_scalars(be: Backend, scalars):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *scalars)
 
 
+#: column-chunk the round body when the stacked buffer exceeds this many
+#: bytes: the monolithic body's even/odd strided gathers materialize many
+#: full-half copies ([81, 2^20] u32 x ~20 at the gl32768 rw sumcheck =
+#: 23.6 GB requested on a 15.75 GB chip). Buffers below the threshold
+#: (incl. every gl16384 program and the gl32768 GP bands/collation, which
+#: compile and fit) keep the simpler monolithic body.
+_CHUNK_BYTES = 1 << 31
+#: pair-axis chunk length for the chunked body
+_CHUNK_COLS = 1 << 17
+
+
+def _round_body_chunked(be: Backend, expr_key: tuple, num_coeffs: int,
+                        W: int, l_act, chal_off: int):
+    """Column-chunked round body for HUGE buffers: the round-polynomial
+    digests accumulate in the FIELD domain over a lax.scan of pair-axis
+    chunks (digest_batch already returns modular field coefficients, so
+    cross-chunk accumulation is exact), then a second chunk scan folds.
+    Peak temporaries are per-chunk instead of per-half."""
+    num_tables, terms = expr_key
+    degree = max(len(f) for _, f in terms)
+    ts = _eval_points(degree)
+    fidx, cidx = _expr_layout(expr_key, num_coeffs, degree)
+    nterms = len(terms)
+    npts = len(ts)
+    C = min(_CHUNK_COLS, W // 2)
+    nch = (W // 2) // C
+
+    def body(j, carry, cdev, tdev):
+        stk, dtx, chal = carry
+        stk3 = jax.tree.map(lambda a: a.reshape(a.shape[:-1] + (nch, 2 * C)), stk)
+
+        def digest_chunk(acc, ch):
+            blk = jax.tree.map(lambda a: a[..., ch, :], stk3)  # [T+1, 2C]
+            even = jax.tree.map(lambda a: a[..., 0::2], blk)
+            odd = jax.tree.map(lambda a: a[..., 1::2], blk)
+            diffs = be.sub(odd, even)
+            x = ch * C + jnp.arange(C, dtype=jnp.int32)
+            mask = (x < jnp.maximum(l_act >> (j + 1), 1))[None, None, :]
+            TB = be.add(
+                jax.tree.map(lambda a: a[None], even),
+                be.mul(tdev, jax.tree.map(lambda a: a[None], diffs)),
+            )
+            part = None
+            for lo_i in range(0, nterms, _TERM_BLOCK):
+                sl = slice(lo_i, min(lo_i + _TERM_BLOCK, nterms))
+                prod = jax.tree.map(lambda a: a[:, fidx[0][sl], :], TB)
+                for k in range(1, degree):
+                    prod = be.mul(
+                        prod,
+                        jax.tree.map(lambda a: a[:, fidx[k][sl], :], TB),
+                    )
+                ci_blk = cidx[sl]
+                cs = jax.tree.map(lambda a: a[None, ci_blk, None], cdev)
+                prod = be.mul(prod, cs)
+                b = sl.stop - sl.start
+                prod = be.select(mask, prod, be.ext.zeros((npts, b, C)))
+                d = digest_batch(be, prod, npts)
+                part = d if part is None else be.add(part, d)
+            return be.add(acc, part), None
+
+        acc0 = be.ext.zeros((npts,))
+        ev, _ = jax.lax.scan(
+            digest_chunk, acc0, jnp.arange(nch, dtype=jnp.int32)
+        )
+        dtx = dt.write_ext(be, dtx, ev)
+        r, dtx = dt.squeeze_challenge(be, dtx)
+
+        def fold_chunk(_, ch):
+            blk = jax.tree.map(lambda a: a[..., ch, :], stk3)
+            even = jax.tree.map(lambda a: a[..., 0::2], blk)
+            odd = jax.tree.map(lambda a: a[..., 1::2], blk)
+            return None, be.add(even, be.mul(r, be.sub(odd, even)))
+
+        _, folded = jax.lax.scan(
+            fold_chunk, None, jnp.arange(nch, dtype=jnp.int32)
+        )
+        # folded: [nch, T+1, C] -> [T+1, W/2] -> zero-pad to [T+1, W]
+        stk = jax.tree.map(
+            lambda f: jnp.pad(
+                jnp.moveaxis(f, 0, -2).reshape(f.shape[1:-1] + (W // 2,)),
+                [(0, 0)] * (f.ndim - 2) + [(0, W // 2)],
+            ),
+            folded,
+        )
+        chal = jax.tree.map(
+            lambda c, rv: c.at[chal_off + j].set(rv), chal, r
+        )
+        return stk, dtx, chal
+
+    return body
+
+
 def _round_body_maker(be: Backend, expr_key: tuple, num_coeffs: int,
                       W: int, l_act, chal_len: int, chal_off: int = 0):
     """One sumcheck round over a [T+1, W] buffer (W static): returns a
     fori-compatible body(j, (stk, dtx, chal)). j is the round index
     RELATIVE to the buffer width (pairs active: l_act >> (j+1)); the bound
-    challenge is written to chal[chal_off + j]."""
+    challenge is written to chal[chal_off + j]. Switches to the
+    column-chunked variant when the buffer exceeds _CHUNK_BYTES."""
+    num_tables, terms = expr_key
+    if W > 2 * _CHUNK_COLS:
+        # estimate bytes: rows x W x 4 bytes per uint32 leaf
+        sample_leaves = 4 * be.spec.ext_degree * (
+            2 if be.spec.name == "goldilocks" else be.limbs_per_base
+        )
+        if (num_tables + 1) * W * sample_leaves > _CHUNK_BYTES:
+            return _round_body_chunked(
+                be, expr_key, num_coeffs, W, l_act, chal_off
+            )
     num_tables, terms = expr_key
     degree = max(len(f) for _, f in terms)
     ts = _eval_points(degree)
@@ -209,12 +312,17 @@ def _round_body_maker(be: Backend, expr_key: tuple, num_coeffs: int,
     return body
 
 
-#: staged-compaction stage length: the buffer is SLICED in half after every
-#: STAGE_ROUNDS rounds, so total per-sumcheck work is ~3.4*N field ops
-#: instead of v*N (the fixed-buffer fori processed the full padded buffer
-#: every round: 19N at the gl16384 collation). Code size scales with the
-#: stage count (ceil(logn / STAGE_ROUNDS) copies of the round body).
-STAGE_ROUNDS = 3
+def _stage_plan(logn: int):
+    """Staged-compaction schedule: stage k plays s_k rounds, then the
+    buffer is statically sliced by 2^(s_k). [2, 2, rest] captures ~all of
+    the compaction saving (geometric decay: 2N + N/2 + (v-4)N/16 ~ 3.4N
+    field ops vs v*N unstaged at v=19) while emitting only THREE copies of
+    the round body — a uniform 3-round plan emitted ceil(v/3) copies and
+    blew the MC executables to 66-91 MB, which re-thrashed the device code
+    arena."""
+    if logn <= 4:
+        return [logn] if logn else []
+    return [2, 2, logn - 4]
 
 
 def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
@@ -239,8 +347,7 @@ def rounds(be: Backend, expr_key: tuple, num_coeffs: int, logn: int,
     # for why executable size is the TPU-tunnel bottleneck)
     tdev = be.reshape(be.from_ints(list(ts), ext=True), (len(ts), 1, 1))
     done = 0
-    while done < logn:
-        n_st = min(STAGE_ROUNDS, logn - done)
+    for n_st in _stage_plan(logn):
         W = N >> done
         mk = _round_body_maker(
             be, expr_key, num_coeffs, W,

@@ -509,13 +509,17 @@ class BfvEncrypt:
         checkpoint/resume and multi-chip `mesh`). Both produce identical
         proof bytes.
 
-        `mesh` (jax Mesh with an "hc" axis, host path only): shards every
-        node-reduction / collation / grand-product sumcheck's hypercube
-        across devices ("halve-until-local" schedule, SURVEY.md §5.7);
-        proof bytes are invariant to the device count (tested at 1/2/4/8)."""
+        `mesh` (jax Mesh with an "hc" axis): shards the proof across
+        devices; proof bytes are invariant to the device count (tested at
+        1/2/4/8). On the host path every sumcheck runs the explicit
+        "halve-until-local" shard_map schedule (SURVEY.md §5.7); on the
+        device-resident path the node value tables are sharded over "hc"
+        and XLA's SPMD partitioner parallelizes the fused reduction
+        programs (inserting the per-round psum/all-gather collectives) —
+        digests are exact uint32 partial sums, so partitioning cannot
+        change the transcript."""
         if device:
-            assert mesh is None, "mesh sharding uses the host-path prover"
-            return self._prove_device(args, pk)
+            return self._prove_device(args, pk, mesh=mesh)
         be = self.be
         spec = be.spec
         transcript = TranscriptWriter(spec)
@@ -544,7 +548,8 @@ class BfvEncrypt:
             prove_gkr(circuit, values, output_claims, transcript, mesh=mesh)
         return transcript.into_proof()
 
-    def _prove_device(self, args: dict, pk: LassoPreprocessing) -> bytes:
+    def _prove_device(self, args: dict, pk: LassoPreprocessing,
+                      mesh=None) -> bytes:
         from ...gkr import dtranscript as dt
         from ...gkr.circuit import prove_gkr_device
 
@@ -561,6 +566,21 @@ class BfvEncrypt:
                 values = circuit.evaluate(inputs)
                 if os.environ.get("HYPERGRECO_SYNC_SPANS") == "1":
                     jax.block_until_ready(jax.tree.leaves(values))
+            if mesh is not None:
+                # shard every node value over the mesh's "hc" axis; the
+                # SPMD partitioner parallelizes the (unchanged) reduction
+                # programs, so transcript bytes are mesh-invariant
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                ndev = mesh.shape["hc"]
+                sh = NamedSharding(mesh, P("hc"))
+
+                def _shard(a):
+                    if a.ndim == 1 and a.shape[0] % ndev == 0:
+                        return jax.device_put(a, sh)
+                    return a
+
+                values = [jax.tree.map(_shard, v) for v in values]
 
         with span("GKR prove (device)"):
             # proof-felt capacity: measured 3,632 lanes at GL 1024_1x27 and

@@ -109,6 +109,28 @@ class TranscriptWriter(_TranscriptBase):
         self._stream = bytearray(snap["stream"])
 
 
+class RngTranscriptWriter(TranscriptWriter):
+    """Dev-only transcript whose challenges come from a seeded RNG and
+    which does NOT absorb (RngTranscript parity, transcript.rs:23-69):
+    deterministic challenge streams for debugging a prover phase in
+    isolation — NOT Fiat-Shamir, never sound for real proofs."""
+
+    def __init__(self, spec: FieldSpec, seed: int = 0):
+        super().__init__(spec)
+        import random
+
+        self._rng = random.Random(seed)
+
+    def common_felt(self, x: int):  # no absorbing
+        pass
+
+    def common_statement(self, xs) -> bytes:
+        return b"\x00" * 32
+
+    def squeeze_base(self) -> int:
+        return self._rng.randrange(self.spec.p)
+
+
 class TranscriptReader(_TranscriptBase):
     def __init__(self, spec: FieldSpec, proof: bytes):
         super().__init__(spec)
@@ -138,3 +160,23 @@ class TranscriptReader(_TranscriptBase):
             raise ValueError(
                 f"transcript: {len(self._proof) - self._pos} unread proof bytes"
             )
+
+
+class RngTranscriptReader(TranscriptReader):
+    """Verifier twin of RngTranscriptWriter: reads the proof stream but
+    draws challenges from the same seeded RNG instead of the hash."""
+
+    def __init__(self, spec: FieldSpec, proof: bytes, seed: int = 0):
+        super().__init__(spec, proof)
+        import random
+
+        self._rng = random.Random(seed)
+
+    def common_felt(self, x: int):
+        pass
+
+    def common_statement(self, xs) -> bytes:
+        return b"\x00" * 32
+
+    def squeeze_base(self) -> int:
+        return self._rng.randrange(self.spec.p)

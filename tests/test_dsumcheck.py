@@ -110,3 +110,18 @@ def test_traced_v_shares_compile():
         _run_case(bv, expr, [], tabs, num_vars=v)
     fn = dsc._prove_jit("goldilocks", expr.key(), 0, bv)
     assert fn._cache_size() == 1
+
+
+def test_chunked_round_body_parity(monkeypatch):
+    """The column-chunked round body (used when the stacked buffer exceeds
+    _CHUNK_BYTES — GB-scale in production) must produce the identical
+    transcript: force it by shrinking the thresholds."""
+    monkeypatch.setattr(dsc, "_CHUNK_BYTES", 1)
+    monkeypatch.setattr(dsc, "_CHUNK_COLS", 1 << 3)
+    rng = random.Random(21)
+    v = 6
+    p = get_backend("goldilocks").spec.p
+    tabs = [[rng.randrange(p) for _ in range(1 << v)] for _ in range(3)]
+    expr = SumcheckExpr([Term(0, (0, 1, 2)), Term(None, (1, 2))], 3)
+    coeffs = [(rng.randrange(p), rng.randrange(p))]
+    _run_case(v, expr, coeffs, tabs)

@@ -76,3 +76,47 @@ def test_transcript_rejects_noncanonical():
         assert False, "expected rejection"
     except ValueError:
         pass
+
+
+def test_rng_transcript_roundtrip():
+    """Dev transcript (transcript.rs:23-69 parity): seeded challenges, no
+    absorbing — a prove/verify pair with the same seed agrees."""
+    import random
+
+    from hypergreco_tpu.gkr.sumcheck import (
+        SumcheckExpr,
+        Term,
+        prove_sum_check,
+        verify_sum_check,
+    )
+    from hypergreco_tpu.ops.fe import get_backend
+    from hypergreco_tpu.utils.transcript import (
+        RngTranscriptReader,
+        RngTranscriptWriter,
+    )
+
+    be = get_backend("goldilocks")
+    spec = be.spec
+    rng = random.Random(4)
+    v = 4
+    tabs_host = [[rng.randrange(spec.p) for _ in range(1 << v)] for _ in range(2)]
+    expr = SumcheckExpr([Term(None, (0, 1))], 2)
+    claim = spec.zero
+    for x in range(1 << v):
+        claim = spec.eadd(
+            claim,
+            spec.emul(spec.ext(tabs_host[0][x]), spec.ext(tabs_host[1][x])),
+        )
+    tw = RngTranscriptWriter(spec, seed=9)
+    fclaim, pt, fevals = prove_sum_check(
+        be, expr, [], claim, [be.from_ints(t) for t in tabs_host], tw
+    )
+    proof = tw.into_proof()
+    tr = RngTranscriptReader(spec, proof, seed=9)
+    vclaim, vpt = verify_sum_check(spec, 2, v, claim, tr)
+    assert vpt == pt
+    assert vclaim == spec.emul(spec._c(fevals[0]), spec._c(fevals[1]))
+    # different seed -> different challenges -> mismatch
+    tr2 = RngTranscriptReader(spec, proof, seed=10)
+    vclaim2, vpt2 = verify_sum_check(spec, 2, v, claim, tr2)
+    assert vpt2 != pt
