@@ -307,14 +307,36 @@ class VanillaNode(Node):
             d = self._digest_val = h.hexdigest()
         return d
 
+    def _maxc(self, p=None) -> tuple:
+        """STATIC per-slot scatter collision bounds (max sources per
+        target in the public wiring): (lin bounds, quad a-side bounds,
+        quad b-side bounds). Drives scatter_add_mod's column width."""
+        mc = getattr(self, "_maxc_cache", None)
+        if mc is None:
+            const, lin, quad = self._build_wiring(p)
+
+            def fan(arr):
+                return int(np.bincount(arr.astype(np.int64)).max()) if len(
+                    arr
+                ) else 1
+
+            mc = self._maxc_cache = (
+                tuple(fan(sl["src"]) for sl in lin),
+                tuple(fan(sq["a"]) for sq in quad),
+                tuple(fan(sq["b"]) for sq in quad),
+            )
+        return mc
+
     def _shape_sig(self, p=None) -> tuple:
         """Program-sharing key: everything that shapes the traced program.
         Wiring VALUES are arguments, so nodes with different wiring but the
-        same signature share one compiled executable."""
+        same signature share one compiled executable. Collision bounds are
+        included (they select the scatter column width)."""
         const, lin, quad = self._build_wiring(p)
         return (
             self.P, self.log2_sub, self.R, self.G,
             len(lin), tuple((sq["pa"], sq["pb"]) for sq in quad),
+            self._maxc(p),
         )
 
     def _get_prog(self, be, key, make):
@@ -459,20 +481,28 @@ class VanillaNode(Node):
         """Prover scatters: A_flat [P*S] and H_q tables [S] per quad slot."""
         P, S = self.P, self.S
 
+        mc_lin, mc_a, mc_b = self._maxc(be.spec.p)
+
         def make():
             def run(Eq, flat, wd):
                 A = None
-                for sl in wd["lin"]:
+                for si, sl in enumerate(wd["lin"]):
                     vals = be.mul(Eq, sl["coef"])
-                    part = be.scatter_add_mod(sl["src"], vals, P * S)
+                    part = be.scatter_add_mod(
+                        sl["src"], vals, P * S, max_coll=mc_lin[si]
+                    )
                     A = part if A is None else be.add(A, part)
                 if A is None:
                     A = be.zeros((P * S,), ext=True)
                 Hs = []
-                for sq in wd["quad"]:
+                for si, sq in enumerate(wd["quad"]):
                     gb = jax.tree.map(lambda a: a[sq["b_flat"]], flat)
                     vals = be.mul(be.mul(Eq, sq["coef"]), gb)
-                    Hs.append(be.scatter_add_mod(sq["a"], vals, S))
+                    Hs.append(
+                        be.scatter_add_mod(
+                            sq["a"], vals, S, max_coll=mc_a[si]
+                        )
+                    )
                 # dot <Eq, const>
                 cdot = be.sum_digest(be.mul(Eq, wd["const"]))
                 return A, Hs, cdot
@@ -486,15 +516,21 @@ class VanillaNode(Node):
     def _w_tables(self, be, Eq, eq_u):
         S = self.S
 
+        _, mc_a, mc_b = self._maxc(be.spec.p)
+
         def make():
             def run(Eq, eq_u, wd):
                 Ws = []
-                for sq in wd["quad"]:
+                for si, sq in enumerate(wd["quad"]):
                     vals = be.mul(
                         be.mul(Eq, sq["coef"]),
                         jax.tree.map(lambda a: a[sq["a"]], eq_u),
                     )
-                    Ws.append(be.scatter_add_mod(sq["b"], vals, S))
+                    Ws.append(
+                        be.scatter_add_mod(
+                            sq["b"], vals, S, max_coll=mc_b[si]
+                        )
+                    )
                 return Ws
 
             return run
@@ -676,6 +712,9 @@ class VanillaNode(Node):
         npts = len(claim_pts_list[0])
         assert all(len(c) == npts for c in claim_pts_list)
         quad, pa_list, pbs = node0._quad_meta(be.spec.p)
+        # static scatter collision bounds (identical across the group —
+        # part of the shape signature)
+        mc_lin, mc_a, mc_b = node0._maxc(be.spec.p)
 
         def make():
             P, S = node0.P, node0.S
@@ -700,19 +739,20 @@ class VanillaNode(Node):
                 )[:, None]
                 boff_s = (jnp.arange(B, dtype=jnp.int32) * S)[:, None]
                 A = None
-                for sl in wd["lin"]:
+                for si, sl in enumerate(wd["lin"]):
                     vals = be.mul(Eq, sl["coef"])  # [B, Y]
                     idx = (sl["src"] + boff_ps).reshape(-1)
                     part = be.scatter_add_mod(
                         idx,
                         jax.tree.map(lambda a: a.reshape(-1), vals),
                         B * P * S,
+                        max_coll=mc_lin[si],
                     )
                     A = part if A is None else be.add(A, part)
                 if A is None:
                     A = be.zeros((B * P * S,), ext=True)
                 Hs = []
-                for sq in wd["quad"]:
+                for si, sq in enumerate(wd["quad"]):
                     gb = jax.tree.map(
                         lambda a, i=sq["b_flat"]: jnp.take_along_axis(
                             a, i, axis=1
@@ -726,6 +766,7 @@ class VanillaNode(Node):
                             idx,
                             jax.tree.map(lambda a: a.reshape(-1), vals),
                             B * S,
+                            max_coll=mc_a[si],
                         )
                     )
                 # stacked buffer rows: [A_{b,p} | in_{b,p}] interleaved
@@ -795,6 +836,7 @@ class VanillaNode(Node):
                         idx,
                         jax.tree.map(lambda a: a.reshape(-1), vals),
                         B * S,
+                        max_coll=mc_b[qi],
                     )
                     Wb = be.reshape(W, (B, S))
                     bq = jax.tree.map(

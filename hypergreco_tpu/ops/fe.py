@@ -195,18 +195,23 @@ class Backend:
 
         return jax.tree.map(leaf, x)
 
-    def scatter_add_mod(self, idx, values, size: int):
+    def scatter_add_mod(self, idx, values, size: int, max_coll=None):
         """Field scatter-add: out[t] = sum over j with idx[j]==t of values[j].
 
         Modular addition cannot use raw uint32 index_add (carries), so each
-        uint32 limb is split into 8-bit columns, column-wise index_add'ed
-        (column sums < #collisions * 255 — safe below 2^24 collisions), and
-        recombined mod p with field scale/add. idx: int32 [n] (entries == size
-        are dropped); values: base or ext vector [n]. Leaf convention as in
+        uint32 limb is split into bit columns, column-wise index_add'ed and
+        recombined mod p with field scale/add. Column width adapts to the
+        STATIC collision bound `max_coll` (max sources per target, known
+        from the public wiring): 16-bit columns (2 scatters/limb) when
+        max_coll <= 2^15, else the conservative 8-bit split (4/limb, safe
+        below 2^24 collisions). idx: int32 [n] (entries == size are
+        dropped); values: base or ext vector [n]. Leaf convention as in
         digest_value: uint32 limb leaves in little-endian pairs per base
         coefficient."""
         import jax.numpy as jnp
 
+        cb = 16 if max_coll is not None and max_coll <= (1 << 15) else 8
+        mask = (1 << cb) - 1
         leaves = jax.tree.leaves(values)
         nl = self.limbs_per_base
         assert len(leaves) % nl == 0
@@ -218,15 +223,15 @@ class Backend:
             acc = None
             for j in range(nl):
                 limb = leaves[i + j]
-                for s in range(4):
-                    c = (limb >> (8 * s)) & 0xFF
+                for s in range(0, 32, cb):
+                    c = (limb >> s) & mask
                     col = (
                         jnp.zeros((size + 1,), dtype=jnp.uint32)
                         .at[idx]
                         .add(c, mode="drop")[:size]
                     )
                     v = self.base.scale(
-                        mk(col), (1 << (8 * s + 32 * j)) % self.spec.p
+                        mk(col), (1 << (s + 32 * j)) % self.spec.p
                     )
                     acc = v if acc is None else self.base.add(acc, v)
             out_base.append(acc)
