@@ -84,6 +84,15 @@ class FieldSpec:
             b = self.emul(b, b)
         return r
 
+    def epowers(self, a, n: int) -> list:
+        """[1, a, a^2, .., a^(n-1)] via a running product (n-1 muls)."""
+        out = [self.one]
+        if n > 1:
+            a = self._c(a)
+            for _ in range(n - 1):
+                out.append(self.emul(out[-1], a))
+        return out
+
     def escale(self, a, c: int) -> tuple:
         a = self._c(a)
         c = int(c) % self.p

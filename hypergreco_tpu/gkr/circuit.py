@@ -592,7 +592,7 @@ class VanillaNode(Node):
         values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
         total = B * npts
         alpha = transcript.squeeze_challenge() if total > 1 else spec.one
-        alphas = [spec.epow(alpha, i) for i in range(total)]
+        alphas = spec.epowers(alpha, total)
         combined = spec.zero
         for b in range(B):
             for i in range(npts):
@@ -973,7 +973,7 @@ class VanillaNode(Node):
         values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
         total = B * npts
         alpha = transcript.squeeze_challenge() if total > 1 else spec.one
-        alphas = [spec.epow(alpha, i) for i in range(total)]
+        alphas = spec.epowers(alpha, total)
         al_b = [alphas[b * npts : (b + 1) * npts] for b in range(B)]
         combined = spec.zero
         for b in range(B):
@@ -1139,7 +1139,7 @@ class FftNode(Node):
         values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
         total = B * npts
         alpha = transcript.squeeze_challenge() if total > 1 else spec.one
-        alphas = [spec.epow(alpha, i) for i in range(total)]
+        alphas = spec.epowers(alpha, total)
         combined = spec.zero
         for b in range(B):
             for i in range(npts):
@@ -1253,7 +1253,7 @@ class FftNode(Node):
         values = [[spec._c(c[1]) for c in cl] for cl in claims_list]
         total = B * npts
         alpha = transcript.squeeze_challenge() if total > 1 else spec.one
-        alphas = [spec.epow(alpha, i) for i in range(total)]
+        alphas = spec.epowers(alpha, total)
         combined = spec.zero
         for b in range(B):
             for i in range(npts):

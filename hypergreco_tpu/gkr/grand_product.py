@@ -175,8 +175,8 @@ def prove_grand_product(be: Backend, leaves, transcript, mesh=None):
 
     expr = _gp_expr(m)
     bufv = max(v - 1, 1)
+    alphas = spec.epowers(alpha, m)
     for l in range(1, v):
-        alphas = [spec.epow(alpha, i) for i in range(m)]
         batched = spec.zero
         for i in range(m):
             batched = spec.eadd(batched, spec.emul(alphas[i], claims[i]))
@@ -225,8 +225,37 @@ def verify_grand_product(spec: FieldSpec, m: int, num_vars: int, transcript):
     claims = [spec.eadd(l_, spec.emul(mu, spec.esub(r_, l_))) for (l_, r_) in lr]
     point = [mu]
 
+    alphas = spec.epowers(alpha, m)
+
+    from ..utils import nverifier
+
+    if nverifier.available(spec) and hasattr(transcript, "read_felts_np"):
+        # native fast path: the 6m scalar ext muls per layer (batching, the
+        # layer claim check and the next-claim mix) run in C over the m
+        # instances; transcript schedule is identical to the scalar path
+        import numpy as np
+
+        al = np.asarray(
+            [c for a in alphas for c in a], dtype=np.uint64
+        )
+        cl = np.asarray([c for a in claims for c in a], dtype=np.uint64)
+        for l in range(1, v):
+            batched = nverifier.dot_ext_inter(al, cl)
+            fclaim, s = verify_sum_check(spec, 3, l, batched, transcript)
+            ev = transcript.read_felts_np(4 * m)
+            eq = mle.eq_eval(spec, point, s)
+            acc = spec.emul(eq, nverifier.dot3_inter(al, ev))
+            if acc != fclaim:
+                raise ValueError(f"grand product: layer {l} claim mismatch")
+            mu = transcript.squeeze_challenge()
+            cl = nverifier.mix_inter(ev, mu)
+            point = s + [mu]
+        claims = [
+            (int(cl[2 * i]), int(cl[2 * i + 1])) for i in range(m)
+        ]
+        return products, point, claims
+
     for l in range(1, v):
-        alphas = [spec.epow(alpha, i) for i in range(m)]
         batched = spec.zero
         for i in range(m):
             batched = spec.eadd(batched, spec.emul(alphas[i], claims[i]))

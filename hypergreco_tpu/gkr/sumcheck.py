@@ -483,6 +483,9 @@ def verify_sum_check(spec: FieldSpec, degree: int, num_vars: int, claim, transcr
     """Returns (final_claim, point_lsb_first). Caller must check final_claim
     against the expression evaluated at the claimed final table evals."""
     claim = spec._c(claim)
+    native = getattr(transcript, "native_sumcheck", None)
+    if native is not None:
+        return native(degree, num_vars, claim)
     npts = len(_eval_points(degree))
     challenges = []
     for _ in range(num_vars):

@@ -52,6 +52,13 @@ def eq_affine_sum(spec: FieldSpec, pairs, lo: int, hi: int):
         return spec.zero
     pts = [[spec._c(r) for r in pt] for pt, _ in pairs]
     offs = [off for _, off in pairs]
+
+    from ..utils import nverifier
+
+    if nverifier.available(spec) and len(pairs) <= 64:
+        return nverifier.eq_affine_sum(
+            list(zip(pts, offs)), lo, hi
+        )
     one = spec.one
     minlen = min(len(pt) for pt in pts)
 

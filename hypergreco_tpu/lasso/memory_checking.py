@@ -165,10 +165,11 @@ def prove_memory_checking(
     expr, coeffs, tables, openings_layout = _rw_sumcheck_parts(
         be, spec, witnesses, chunk_of, dims_by_chunk, alpha, g, g2, t, z1
     )
+    alphas = spec.epowers(alpha, 2 * M)
     batched = spec.zero
     for i in range(2 * M):
         batched = spec.eadd(
-            batched, spec.emul(spec.epow(alpha, i), spec._c(claims_rw[i]))
+            batched, spec.emul(alphas[i], spec._c(claims_rw[i]))
         )
     fclaim, x, fevals = prove_sum_check(
         be, expr, coeffs, batched, tables, transcript, mesh=mesh
@@ -224,9 +225,10 @@ def _rw_sumcheck_parts(
     terms = []
     coeffs = []
     mone = spec.p - 1
+    alphas = spec.epowers(alpha, 2 * M)
     for m in range(M):
-        am = spec.epow(alpha, m)
-        bm = spec.epow(alpha, M + m)
+        am = alphas[m]
+        bm = alphas[M + m]
         w_m = spec.eadd(am, bm)
         sel = 1 + num_chunks + 3 * m
         e = sel + 1
@@ -285,10 +287,11 @@ def verify_memory_checking(
     prods_rw, z1, claims_rw = verify_grand_product(spec, 2 * M, logl, transcript)
     alpha = transcript.squeeze_challenge()
 
+    alphas = spec.epowers(alpha, 2 * M)
     batched = spec.zero
     for i in range(2 * M):
         batched = spec.eadd(
-            batched, spec.emul(spec.epow(alpha, i), spec._c(claims_rw[i]))
+            batched, spec.emul(alphas[i], spec._c(claims_rw[i]))
         )
     fclaim, x = verify_sum_check(spec, 3, logl, batched, transcript)
     openings = transcript.read_felts_ext(num_chunks + 2 * M)
@@ -300,8 +303,8 @@ def verify_memory_checking(
     eq_eval = mle.eq_eval(spec, z1, x)
     acc = spec.zero
     for m, sh in enumerate(shapes):
-        am = spec.epow(alpha, m)
-        bm = spec.epow(alpha, M + m)
+        am = alphas[m]
+        bm = alphas[M + m]
         w_m = spec.eadd(am, bm)
         sel_eval = sh.selector.evaluate_mle(spec, x)
         hterm = spec.eadd(

@@ -649,7 +649,14 @@ class BfvEncrypt:
         spec = be.spec
         p = spec.p
         npf = NpField.for_spec(spec)
-        transcript = TranscriptReader(spec, proof)
+        from ...utils import nverifier
+
+        if nverifier.available(spec) and os.environ.get(
+            "HYPERGRECO_NATIVE_VERIFY", "1"
+        ) != "0":
+            transcript = nverifier.NativeTranscriptReader(spec, proof)
+        else:
+            transcript = TranscriptReader(spec, proof)
 
         ct0is_dense = []
         for z in range(min(len(ct0is), self.K)):

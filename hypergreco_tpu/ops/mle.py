@@ -126,6 +126,12 @@ def eval_host(spec, dense: list, point: list):
 
 def eq_eval(spec, x: list, y: list):
     """Host eq(x, y) = prod_i (x_i y_i + (1-x_i)(1-y_i))."""
+    from ..utils import nverifier
+
+    if nverifier.available(spec):
+        return nverifier.eq_eval(
+            [spec._c(c) for c in x], [spec._c(c) for c in y]
+        )
     acc = spec.one
     for xi, yi in zip(x, y):
         xi, yi = spec._c(xi), spec._c(yi)

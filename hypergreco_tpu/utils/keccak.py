@@ -30,16 +30,24 @@ def _load_native():
         if _TRIED:
             return _LIB
         try:
-            if not os.path.exists(_SO_PATH):
-                srcs = [os.path.join(_NATIVE_DIR, "keccak.cpp")]
-                extra = os.path.join(_NATIVE_DIR, "parse.cpp")
-                if os.path.exists(extra):
-                    srcs.append(extra)
+            srcs = [os.path.join(_NATIVE_DIR, "keccak.cpp")]
+            for extra in ("parse.cpp", "nverify.cpp"):
+                path = os.path.join(_NATIVE_DIR, extra)
+                if os.path.exists(path):
+                    srcs.append(path)
+            stale = not os.path.exists(_SO_PATH) or any(
+                os.path.getmtime(s) > os.path.getmtime(_SO_PATH) for s in srcs
+            )
+            if stale:
+                # build to a temp path + atomic rename: another process may
+                # be dlopen()ing the .so at this very moment
+                tmp = _SO_PATH + f".tmp.{os.getpid()}"
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-o", _SO_PATH, *srcs],
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", tmp, *srcs],
                     check=True,
                     capture_output=True,
                 )
+                os.replace(tmp, _SO_PATH)
             lib = ctypes.CDLL(_SO_PATH)
             lib.hg_keccak_init.argtypes = [ctypes.c_void_p]
             lib.hg_keccak_update.argtypes = [

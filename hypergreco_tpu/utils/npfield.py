@@ -37,10 +37,14 @@ class _GLOps:
 
     @staticmethod
     def from_ints(xs) -> np.ndarray:
-        a = np.asarray(
-            [int(x) % GL_P for x in xs] if not isinstance(xs, np.ndarray) else xs,
-            dtype=np.uint64,
-        )
+        if isinstance(xs, np.ndarray):
+            return np.asarray(xs, dtype=np.uint64)
+        try:
+            a = np.array(xs, dtype=np.uint64)
+        except (OverflowError, TypeError, ValueError):
+            return np.asarray([int(x) % GL_P for x in xs], dtype=np.uint64)
+        if (a >= _GLP).any():
+            return np.asarray([int(x) % GL_P for x in xs], dtype=np.uint64)
         return a
 
     @staticmethod
@@ -151,15 +155,31 @@ class _ObjOps:
 
 
 class NpField:
-    """Ext-field vector ops for one FieldSpec (host verifier workhorse)."""
+    """Ext-field vector ops for one FieldSpec (host verifier workhorse).
+
+    For Goldilocks the O(L) kernels (eq tables, DFT-row tables, MLE dots)
+    dispatch to the native C core (utils/nverifier.py) when available —
+    numpy's ~40 us fixed cost per array op makes the pure-numpy builds the
+    dominant verify cost at L <= 2^16. Tables are memoized per point
+    (bounded): grouped nodes and multi-claim inputs share claim points, so
+    a verify re-uses most tables several times."""
 
     _CACHE: dict = {}
+    _MEMO_CAP = 128  # eq/d tables are <= 2 * 8 B * 2^16 = 1 MiB each
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
         self.base = _GLOps() if spec.p == GL_P else _ObjOps(spec.p)
         self.deg = spec.ext_degree
         self.w = spec.ext_nonresidue
+        self._eq_memo: dict = {}
+        self._d_memo: dict = {}
+        if spec.p == GL_P and spec.ext_degree == 2:
+            from . import nverifier
+
+            self._nv = nverifier if nverifier.available(spec) else None
+        else:
+            self._nv = None
 
     @classmethod
     def for_spec(cls, spec: FieldSpec) -> "NpField":
@@ -220,14 +240,24 @@ class NpField:
 
     def eq_table(self, point) -> tuple:
         """eq(point, x) over x in [0, 2^v), LSB-first, via doubling:
-        total mults ~2^v (not 2^v * v)."""
-        v = len(point)
-        t = self.ext_splat(1, self.spec.one)
-        for j in range(v):
-            r = self.ext_splat(1 << j, point[j])
-            hi = self.emul(t, r)
-            lo = self.esub(t, hi)  # t*(1-r)
-            t = tuple(np.concatenate([l_, h_]) for l_, h_ in zip(lo, hi))
+        total mults ~2^v (not 2^v * v). Memoized per point."""
+        point = [self.spec._c(r) for r in point]
+        key = tuple(point)
+        t = self._eq_memo.get(key)
+        if t is not None:
+            return t
+        if self._nv is not None:
+            t = self._nv.eq_table(point)
+        else:
+            t = self.ext_splat(1, self.spec.one)
+            for j in range(len(point)):
+                r = self.ext_splat(1 << j, point[j])
+                hi = self.emul(t, r)
+                lo = self.esub(t, hi)  # t*(1-r)
+                t = tuple(np.concatenate([l_, h_]) for l_, h_ in zip(lo, hi))
+        if len(self._eq_memo) >= self._MEMO_CAP:
+            self._eq_memo.clear()
+        self._eq_memo[key] = t
         return t
 
     def mle_eval_ints(self, dense, point) -> tuple:
@@ -240,6 +270,8 @@ class NpField:
         n = tab.shape[0]
         assert n == 1 << len(point)
         eq = self.eq_table(point)
+        if self._nv is not None and tab.dtype == np.uint64:
+            return self._nv.dot_base(eq, tab)
         return self.esum(self.emul_base(eq, tab))
 
     def d_table(self, points, alphas, logl: int, inverse: bool) -> tuple:
@@ -247,24 +279,43 @@ class NpField:
         d(j) = sum_i alpha_i * prod_b ((1-r_ib) + r_ib * w^(j 2^b)),
         1/L-scaled for inverse. Built by bit-doubling: factor b depends on
         j mod 2^(logl-b), so the partial product over b >= k is a table of
-        size 2^(logl-k) — total mults ~2*2^logl per point."""
+        size 2^(logl-k) — total mults ~2*2^logl per point. Per-point tables
+        are memoized (claim points recur across grouped nodes)."""
+        p = self.spec.p
+        L = 1 << logl
+        one = self.spec.one
+        acc = None
+        for pt, al in zip(points, alphas):
+            t = self._d_one(tuple(self.spec._c(r) for r in pt), logl, inverse)
+            if self.spec._c(al) != one:
+                t = self.emul(t, self.ext_splat(L, al))
+            acc = t if acc is None else self.eadd(acc, t)
+        return acc
+
+    def _d_one(self, pt: tuple, logl: int, inverse: bool) -> tuple:
+        """DFT-row MLE table for ONE claim point (1/L-scaled if inverse)."""
+        key = (pt, logl, inverse)
+        t = self._d_memo.get(key)
+        if t is not None:
+            return t
         p = self.spec.p
         L = 1 << logl
         w = self.spec.root_of_unity(L)
         if inverse:
             w = pow(w, p - 2, p)
-        # wpow[j] = w^j
-        wp = [1] * L
-        for j in range(1, L):
-            wp[j] = wp[j - 1] * w % p
-        wtab = self.base.from_ints(wp)
-        acc = None
-        for pt, al in zip(points, alphas):
+        linv = pow(L, p - 2, p) if inverse else 1
+        if self._nv is not None:
+            t = self._nv.d_table(pt, logl, w, linv)
+        else:
+            wp = [1] * L
+            for j in range(1, L):
+                wp[j] = wp[j - 1] * w % p
+            wtab = self.base.from_ints(wp)
             # build from b = logl-1 (table of size 2) down to b = 0
             t = self.ext_splat(1, self.spec.one)
             for b in range(logl - 1, -1, -1):
                 size = 1 << (logl - b)
-                # factor_b(j) = (1 - r_b) + r_b * w^(j*2^b) for j in [0, size)
+                # factor_b(j) = (1 - r_b) + r_b * w^(j*2^b), j in [0, size)
                 idx = (np.arange(size, dtype=np.int64) << b) % L
                 wb = wtab[idx]
                 r = self.ext_splat(size, pt[b])
@@ -273,13 +324,15 @@ class NpField:
                 # expand t (period size/2) to size and multiply
                 te = tuple(np.tile(x, 2) for x in t)
                 t = self.emul(te, f)
-            term = self.emul(t, self.ext_splat(L, al))
-            acc = term if acc is None else self.eadd(acc, term)
-        if inverse:
-            linv = pow(L, p - 2, p)
-            acc = self.emul_base(acc, self.base.full(L, linv))
-        return acc
+            if inverse:
+                t = self.emul_base(t, self.base.full(L, linv))
+        if len(self._d_memo) >= self._MEMO_CAP:
+            self._d_memo.clear()
+        self._d_memo[key] = t
+        return t
 
     def dot_ext(self, a, b) -> tuple:
         """<a, b> for two ext vectors."""
+        if self._nv is not None:
+            return self._nv.dot_ext(a, b)
         return self.esum(self.emul(a, b))
