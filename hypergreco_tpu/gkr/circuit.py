@@ -109,6 +109,24 @@ def relay_add_const(w, c: int) -> VanillaGate:
 #: ~33 ms each — scratch/prof_sync_r4.log).
 _PROG_CACHE: dict = {}
 
+# checkpoint schema (prove_gkr resume=): bump when the cursor layout or
+# claim-frontier encoding changes — old checkpoints are rejected loudly
+CHECKPOINT_VERSION = 2
+
+# monotonic node identity for device-state cache keys: CPython id() values
+# can be REUSED after a node is garbage-collected, which would alias cache
+# entries across rebuilt circuits (ADVICE r4)
+import itertools as _itertools
+
+_NODE_UIDS = _itertools.count()
+
+
+def _node_uid(node) -> int:
+    uid = getattr(node, "_hg_uid", None)
+    if uid is None:
+        uid = node._hg_uid = next(_NODE_UIDS)
+    return uid
+
 
 class Node:
     def is_input(self) -> bool:
@@ -889,7 +907,7 @@ class VanillaNode(Node):
             fn = _PROG_CACHE[gkey] = jax.jit(make())
         # stacked per-group device state (wiring + inputs + points); the
         # wiring stack is static — cached on the group's first node
-        wkey = ("gwd", be.spec.name, tuple(id(n) for n in nodes))
+        wkey = ("gwd", be.spec.name, tuple(_node_uid(n) for n in nodes))
         wd_stk = getattr(node0, "_group_wd_cache", {}).get(wkey)
         if wd_stk is None:
             wd_stk = jax.tree.map(
@@ -1493,6 +1511,15 @@ def prove_gkr(
     sched = circuit.reduction_schedule()
     start = 0
     if resume is not None:
+        # `next_index` changed meaning in round 4 (per-node -> per-GROUP
+        # cursor); an old-schema checkpoint would silently desync the
+        # transcript (ADVICE r4), so version mismatches fail loudly here
+        if resume.get("version") != CHECKPOINT_VERSION:
+            raise ValueError(
+                f"checkpoint schema version {resume.get('version')!r} != "
+                f"{CHECKPOINT_VERSION}; re-prove from scratch (the group "
+                "cursor layout changed)"
+            )
         transcript.restore(resume["transcript"])
         claims = [list(c) for c in resume["claims"]]
         start = resume["next_index"]
@@ -1530,6 +1557,7 @@ def prove_gkr(
         if checkpoint_cb is not None:
             checkpoint_cb(
                 {
+                    "version": CHECKPOINT_VERSION,
                     "next_index": idx + 1,
                     "transcript": transcript.snapshot(),
                     "claims": [list(c) for c in claims],

@@ -549,7 +549,14 @@ class BfvEncrypt:
         witness gen and proof gen as separate phases,
         sk_encryption_circuit.rs:439-457 spans / README.md:39-56 columns —
         re-parsing ~1.6M decimal strings inside every prove cost 2.2 s of
-        the gl32768 prove)."""
+        the gl32768 prove).
+
+        CONTRACT (ADVICE r4): the cache is keyed on the args dict's
+        IDENTITY, not its content — mutating the same dict in place and
+        re-proving returns the stale witness (the statement digest is also
+        cached, so the mismatch surfaces as a verify failure, never a wrong
+        accepted proof). Pass a fresh dict per logical witness, or call
+        invalidate_witness_cache() after in-place edits."""
         be = self.be
         cache = getattr(self, "_wit_cache", None)
         if cache is not None and cache[0] is args:
@@ -565,6 +572,10 @@ class BfvEncrypt:
         out = (inputs_dense, ct0is_dense, values)
         self._wit_cache = (args, out)
         return out
+
+    def invalidate_witness_cache(self):
+        """Drop the per-args witness cache (see _witness contract)."""
+        self._wit_cache = None
 
     def _prove_device(self, args: dict, pk: LassoPreprocessing,
                       mesh=None) -> bytes:

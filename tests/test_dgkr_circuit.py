@@ -150,3 +150,36 @@ def test_device_reps():
     circuit.connect(a, node)
     da = [rng.randrange(P) for _ in range(n * reps)]
     _run_both(circuit, [da])
+
+
+def test_device_grouped_linear_nodes_with_collisions():
+    """Regression (round-4 gl8192): a GROUP (B>1) of identical-signature
+    nodes whose wiring has LINEAR scatter slots — the grouped device
+    reduction referenced the collision bounds (`mc_lin`) without defining
+    them, a NameError that shipped because no fast-tier test instantiated
+    grouped lin slots (VERDICT r4 weak #2). Gates include a fan-in-2
+    target so the lin collision bound > 1 (the 8192+ shape family's
+    scatter-width knob)."""
+    rng = random.Random(15)
+    v = 3
+    n = 1 << v
+    circuit = Circuit(BE)
+    a = circuit.insert(InputNode(v))
+    b = circuit.insert(InputNode(v))
+
+    def lin_gates():
+        # linear-only gates; gate 0 has TWO sources (scatter collision)
+        return [
+            VanillaGate.new(
+                7, [(3, (0, j)), (None, (0, (j + 1) % n))], []
+            )
+            for j in range(n)
+        ]
+
+    s1 = circuit.insert(VanillaNode(1, v, lin_gates()))
+    s2 = circuit.insert(VanillaNode(1, v, lin_gates()))
+    circuit.connect(a, s1)
+    circuit.connect(b, s2)
+    da = [rng.randrange(P) for _ in range(n)]
+    db = [rng.randrange(P) for _ in range(n)]
+    _run_both(circuit, [da, db])

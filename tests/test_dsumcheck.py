@@ -118,6 +118,10 @@ def test_chunked_round_body_parity(monkeypatch):
     transcript: force it by shrinking the thresholds."""
     monkeypatch.setattr(dsc, "_CHUNK_BYTES", 1)
     monkeypatch.setattr(dsc, "_CHUNK_COLS", 1 << 3)
+    # _prove_jit is lru_cached by (backend, expr_key, logn): an earlier test
+    # that compiled the same key would silently reuse the MONOLITHIC body
+    # and this test would stop exercising the chunked path (ADVICE r4)
+    dsc._prove_jit.cache_clear()
     rng = random.Random(21)
     v = 6
     p = get_backend("goldilocks").spec.p
