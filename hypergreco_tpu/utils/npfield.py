@@ -154,6 +154,100 @@ class _ObjOps:
         return [int(x) for x in a]
 
 
+class _FrNativeOps:
+    """BN254-Fr base ops backed by the native core (nverify_fr.cpp).
+
+    One felt = 4 LE u64 limbs; vectors are [N, 4] u64 arrays. Replaces
+    _ObjOps (object-dtype numpy = Python-int C loops, ~10x slower per
+    element and allocation-heavy) whenever libhg_native is available."""
+
+    def __init__(self, p: int):
+        self.p = p
+        from . import nverifier as nv
+
+        self._nv = nv
+        self._lib = nv._lib()
+
+    def from_ints(self, xs):
+        if isinstance(xs, np.ndarray) and xs.dtype == np.uint64 and (
+            xs.ndim == 2 and xs.shape[1] == 4
+        ):
+            return xs
+        return self._nv.fr_pack([int(x) % self.p for x in xs])
+
+    def _bin(self, fn, a, b):
+        out = np.empty_like(a)
+        n = a.shape[0]
+        fn(self._nv._ptr(a), self._nv._ptr(b), n, self._nv._ptr(out))
+        return out
+
+    def add(self, a, b):
+        return self._bin(self._lib.hgv_fr_vec_add, a, b)
+
+    def sub(self, a, b):
+        return self._bin(self._lib.hgv_fr_vec_sub, a, b)
+
+    def mul(self, a, b):
+        return self._bin(self._lib.hgv_fr_vec_mul, a, b)
+
+    def neg(self, a):
+        out = np.empty_like(a)
+        self._lib.hgv_fr_vec_neg(
+            self._nv._ptr(a), a.shape[0], self._nv._ptr(out)
+        )
+        return out
+
+    def scale(self, a, c: int):
+        out = np.empty_like(a)
+        cv = self._nv.fr_pack_one(int(c) % self.p)
+        self._lib.hgv_fr_vec_scale(
+            self._nv._ptr(a), self._nv._ptr(cv), a.shape[0], self._nv._ptr(out)
+        )
+        return out
+
+    def zeros(self, n):
+        return np.zeros((n, 4), dtype=np.uint64)
+
+    def full(self, n, v: int):
+        return np.tile(self._nv.fr_pack_one(int(v) % self.p), (n, 1))
+
+    def sum(self, a) -> int:
+        out = np.empty(4, dtype=np.uint64)
+        self._lib.hgv_fr_vec_sum(self._nv._ptr(a), a.shape[0], self._nv._ptr(out))
+        return self._nv.fr_unpack_one(out)
+
+    def to_ints(self, a):
+        return self._nv.fr_unpack(a)
+
+
+class _FrNpKernels:
+    """NpField._nv adapter for bn254 (deg-1 ext = 1-tuples of base arrays)."""
+
+    @staticmethod
+    def eq_table(point):
+        from . import nverifier as nv
+
+        return (nv.fr_eq_table(point),)
+
+    @staticmethod
+    def d_table(pt, logl, w, linv):
+        from . import nverifier as nv
+
+        return (nv.fr_d_table(pt, logl, w, linv),)
+
+    @staticmethod
+    def dot_base(eq, tab):
+        from . import nverifier as nv
+
+        return (nv.fr_dot(eq[0], tab),)
+
+    @staticmethod
+    def dot_ext(a, b):
+        from . import nverifier as nv
+
+        return (nv.fr_dot(a[0], b[0]),)
+
+
 class NpField:
     """Ext-field vector ops for one FieldSpec (host verifier workhorse).
 
@@ -169,16 +263,20 @@ class NpField:
 
     def __init__(self, spec: FieldSpec):
         self.spec = spec
-        self.base = _GLOps() if spec.p == GL_P else _ObjOps(spec.p)
         self.deg = spec.ext_degree
         self.w = spec.ext_nonresidue
         self._eq_memo: dict = {}
         self._d_memo: dict = {}
-        if spec.p == GL_P and spec.ext_degree == 2:
-            from . import nverifier
+        from . import nverifier
 
+        if spec.p == GL_P and spec.ext_degree == 2:
+            self.base = _GLOps()
             self._nv = nverifier if nverifier.available(spec) else None
+        elif spec.name == "bn254" and nverifier.available(spec):
+            self.base = _FrNativeOps(spec.p)
+            self._nv = _FrNpKernels
         else:
+            self.base = _ObjOps(spec.p)
             self._nv = None
 
     @classmethod
