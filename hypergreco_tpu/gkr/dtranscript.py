@@ -147,14 +147,19 @@ def squeeze_base(be: Backend, dtx: DTx):
 
 
 def squeeze_challenge(be: Backend, dtx: DTx):
-    """Ext challenge = ext_degree base squeezes. Returns (ext 0-d, DTx)."""
-    coeffs = []
-    for _ in range(be.spec.ext_degree):
-        c, dtx = squeeze_base(be, dtx)
-        coeffs.append(c)
-    if be.ext_cls is be.base_cls:
-        return coeffs[0], dtx
-    return be.ext_cls(*coeffs), dtx
+    """Ext challenge from ONE digest (protocol v2.1): degree-2 coefficients
+    come from the digest's 16-byte halves — one finalize permutation per
+    challenge instead of one per coefficient, halving the serial keccak
+    chain. Returns (ext 0-d, DTx)."""
+    if be.spec.ext_degree == 1:
+        return squeeze_base(be, dtx)
+    assert be.spec.ext_degree == 2
+    dlo, dhi, sponge = kj.finalize_reset(dtx.sponge)
+    c0 = be.base.from_digest_half(dlo, dhi, 0)
+    c1 = be.base.from_digest_half(dlo, dhi, 1)
+    return be.ext_cls(c0, c1), DTx(
+        sponge, dtx.log_lo, dtx.log_hi, dtx.log_len
+    )
 
 
 def squeeze_challenges(be: Backend, dtx: DTx, n: int):

@@ -55,7 +55,11 @@ def eq_affine_sum(spec: FieldSpec, pairs, lo: int, hi: int):
 
     from ..utils import nverifier
 
-    if nverifier.available(spec) and len(pairs) <= 64:
+    if (
+        spec.name == "goldilocks"
+        and nverifier.available(spec)
+        and len(pairs) <= 64
+    ):
         return nverifier.eq_affine_sum(
             list(zip(pts, offs)), lo, hi
         )

@@ -510,14 +510,17 @@ class BfvEncrypt:
         proof bytes.
 
         `mesh` (jax Mesh with an "hc" axis): shards the proof across
-        devices; proof bytes are invariant to the device count (tested at
-        1/2/4/8). On the host path every sumcheck runs the explicit
-        "halve-until-local" shard_map schedule (SURVEY.md §5.7); on the
-        device-resident path the node value tables are sharded over "hc"
-        and XLA's SPMD partitioner parallelizes the fused reduction
-        programs (inserting the per-round psum/all-gather collectives) —
-        digests are exact uint32 partial sums, so partitioning cannot
-        change the transcript."""
+        devices; proof bytes are invariant to the device count. Evidence:
+        host path tested at 1/2/4/8 virtual devices
+        (tests/test_multichip_bfv.py); device path validated by
+        __graft_entry__.dryrun_multichip (host==device==device+mesh byte
+        equality on an 8-device mesh). On the host path every sumcheck
+        runs the explicit "halve-until-local" shard_map schedule
+        (SURVEY.md §5.7); on the device-resident path the node value
+        tables are sharded over "hc" and XLA's SPMD partitioner
+        parallelizes the fused reduction programs (inserting the
+        per-round psum/all-gather collectives) — digests are exact uint32
+        partial sums, so partitioning cannot change the transcript."""
         if device:
             return self._prove_device(args, pk, mesh=mesh)
         be = self.be
@@ -682,11 +685,31 @@ class BfvEncrypt:
         input_claims = verify_gkr(circuit, output_claims, transcript)
         transcript.assert_consumed()
 
-        for dense, claims in zip(inputs_dense, input_claims):
+        # input-claim openings: dedupe per (input, point), pre-build the eq
+        # tables serially (the point memo is not thread-safe), then run the
+        # O(L) dots on a thread pool — the native kernels release the GIL,
+        # and the reference's M1 baseline uses 10 cores (README.md:31)
+        jobs = {}
+        for idx, (dense, claims) in enumerate(zip(inputs_dense, input_claims)):
             tab = npf.base.from_ints(dense)
             for pt, val in claims:
-                if npf.mle_eval_ints(tab, pt) != spec._c(val):
-                    raise ValueError("bfv: input claim mismatch")
+                key = (idx, tuple(spec._c(r) for r in pt))
+                if key in jobs:
+                    if jobs[key][2] != spec._c(val):
+                        raise ValueError("bfv: input claim mismatch")
+                    continue
+                jobs[key] = (tab, pt, spec._c(val))
+        for _, pt, _ in jobs.values():
+            npf.eq_table(pt)  # populate the memo serially
+        from concurrent.futures import ThreadPoolExecutor
+
+        def check(job):
+            tab, pt, val = job
+            return npf.mle_eval_ints(tab, pt) == val
+
+        with ThreadPoolExecutor(max_workers=8) as pool:
+            if not all(pool.map(check, jobs.values())):
+                raise ValueError("bfv: input claim mismatch")
         return True
 
 

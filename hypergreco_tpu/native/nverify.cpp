@@ -121,6 +121,18 @@ inline u64 squeeze_base(KeccakState* h) {
   return acc;
 }
 
+// GL2 challenge, protocol v2.1: ONE digest, coefficients from the two
+// 16-byte LE halves mod p (utils/transcript.py squeeze_challenge parity)
+inline void squeeze_halves(KeccakState* h, u64* c0, u64* c1) {
+  uint8_t d[32];
+  hg_keccak_finalize_reset(h, d);
+  hg_keccak_update(h, d, 32);
+  u64 w[4];
+  std::memcpy(w, d, 32);
+  *c0 = gl_add(gl_mul(w[1] % GLP, M32), w[0] % GLP);
+  *c1 = gl_add(gl_mul(w[3] % GLP, M32), w[2] % GLP);
+}
+
 }  // namespace
 
 extern "C" {
@@ -177,6 +189,13 @@ void hgv_tr_squeeze(HgvTr* t, size_t n, u64* out) {
   for (size_t i = 0; i < n; i++) out[i] = squeeze_base(&t->hash);
 }
 
+// n GL2 challenges, protocol v2.1: both coefficients from ONE digest
+// (16-byte LE halves mod p). out: 2n words, (c0, c1) interleaved.
+void hgv_tr_squeeze_ext(HgvTr* t, size_t n, u64* out) {
+  for (size_t i = 0; i < n; i++)
+    squeeze_halves(&t->hash, &out[2 * i], &out[2 * i + 1]);
+}
+
 // ---------------------------------------------------------------------------
 // sumcheck round loop (GL2): the verifier side of one sumcheck instance.
 // Round messages carry evals at x = {0, 2, .., degree} (npts = degree); the
@@ -206,8 +225,7 @@ int hgv_tr_verify_sumcheck(HgvTr* t, int degree, int num_vars,
     int rc = hgv_tr_read(t, 2 * npts, evals);
     if (rc) return rc;
     Ext r;
-    r.c0 = squeeze_base(&t->hash);
-    r.c1 = squeeze_base(&t->hash);
+    squeeze_halves(&t->hash, &r.c0, &r.c1);
     challenges_out[2 * v] = r.c0;
     challenges_out[2 * v + 1] = r.c1;
     // ys = [e0, claim - e0, e1, .., e_{npts-1}]

@@ -229,6 +229,19 @@ def from_digest_lanes(dlo, dhi) -> GL:
     return acc
 
 
+def from_digest_half(dlo, dhi, half: int) -> GL:
+    """One 16-byte half of a keccak digest -> 0-d GL (LE int mod p).
+
+    Protocol v2.1: a GL2 challenge takes BOTH coefficients from ONE digest
+    (c0 = bytes 0..15, c1 = bytes 16..31) instead of one finalize-permute
+    per coefficient — halves the serial keccak chain that dominates device
+    proving (PROTOCOL.md 'challenge squeezing')."""
+    b = 2 * half
+    l0 = GL(*_cond_sub_p(dlo[b], dhi[b]))
+    l1 = GL(*_cond_sub_p(dlo[b + 1], dhi[b + 1]))
+    return add(l0, mul(l1, scalar(pow(2, 64, P))))
+
+
 # ---------------------------------------------------------------------------
 # host <-> device conversion
 # ---------------------------------------------------------------------------

@@ -51,6 +51,7 @@ def _lib():
     lib.hgv_tr_read.argtypes = [ctypes.c_void_p, ctypes.c_size_t, _u64p]
     lib.hgv_tr_read.restype = ctypes.c_int
     lib.hgv_tr_squeeze.argtypes = [ctypes.c_void_p, ctypes.c_size_t, _u64p]
+    lib.hgv_tr_squeeze_ext.argtypes = [ctypes.c_void_p, ctypes.c_size_t, _u64p]
     lib.hgv_tr_verify_sumcheck.argtypes = [
         ctypes.c_void_p,
         ctypes.c_int,
@@ -281,17 +282,14 @@ class NativeTranscriptReader(TranscriptReader):
         return int(out[0])
 
     def squeeze_challenge(self) -> tuple:
-        d = self.spec.ext_degree
-        out = np.empty(d, dtype=np.uint64)
-        _lib().hgv_tr_squeeze(self._h, d, _ptr(out))
-        return tuple(int(x) for x in out)
+        return self.squeeze_challenges(1)[0]
 
     def squeeze_challenges(self, n: int) -> list:
-        d = self.spec.ext_degree
-        out = np.empty(n * d, dtype=np.uint64)
-        _lib().hgv_tr_squeeze(self._h, n * d, _ptr(out))
+        # protocol v2.1: one digest per ext challenge (16-byte halves)
+        out = np.empty(2 * n, dtype=np.uint64)
+        _lib().hgv_tr_squeeze_ext(self._h, n, _ptr(out))
         return [
-            tuple(int(x) for x in out[i * d : (i + 1) * d]) for i in range(n)
+            (int(out[2 * i]), int(out[2 * i + 1])) for i in range(n)
         ]
 
     # -- sumcheck round loop (dispatched from gkr.sumcheck.verify_sum_check) --

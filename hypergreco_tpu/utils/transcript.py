@@ -63,7 +63,20 @@ class _TranscriptBase:
         return int.from_bytes(digest, "little") % self.spec.p
 
     def squeeze_challenge(self) -> tuple:
-        return tuple(self.squeeze_base() for _ in range(self.spec.ext_degree))
+        """Protocol v2.1: a degree-2 challenge takes both coefficients from
+        ONE 32-byte digest (16-byte LE halves mod p) — the digest-per-
+        coefficient schedule doubled the serial keccak chain that dominates
+        device proving (PROTOCOL.md 'challenge squeezing')."""
+        if self.spec.ext_degree == 1:
+            return (self.squeeze_base(),)
+        assert self.spec.ext_degree == 2
+        digest = self._hash.finalize_reset()
+        self._hash.update(digest)
+        p = self.spec.p
+        return (
+            int.from_bytes(digest[:16], "little") % p,
+            int.from_bytes(digest[16:], "little") % p,
+        )
 
     def squeeze_challenges(self, n: int) -> list:
         return [self.squeeze_challenge() for _ in range(n)]
@@ -130,6 +143,9 @@ class RngTranscriptWriter(TranscriptWriter):
     def squeeze_base(self) -> int:
         return self._rng.randrange(self.spec.p)
 
+    def squeeze_challenge(self) -> tuple:  # rng draws, no digest splitting
+        return tuple(self.squeeze_base() for _ in range(self.spec.ext_degree))
+
 
 class TranscriptReader(_TranscriptBase):
     def __init__(self, spec: FieldSpec, proof: bytes):
@@ -180,3 +196,6 @@ class RngTranscriptReader(TranscriptReader):
 
     def squeeze_base(self) -> int:
         return self._rng.randrange(self.spec.p)
+
+    def squeeze_challenge(self) -> tuple:  # rng draws, no digest splitting
+        return tuple(self.squeeze_base() for _ in range(self.spec.ext_degree))
