@@ -62,7 +62,11 @@ CONFIGS = {
 }
 
 DEFAULT = "gl1024,gl2048,gl4096,gl8192,bn1024,gl16384,gl32768"
-BIG = ("gl32768", "gl16384", "gl8192")  # long-pole lane, longest first
+# Long-pole lane, SMALLEST first: a round-5 warm-cache rehearsal showed
+# gl32768's executable-load phase alone can exceed the per-config cap, so
+# longest-first starves the whole lane; ascending order records every
+# config that fits and spends only the tail on the one that may not.
+BIG = ("gl8192", "gl16384", "gl32768")
 
 
 def _load_args(field: str, params) -> dict:
@@ -192,7 +196,11 @@ def _emit(results: dict, errors: dict, lock=threading.Lock()):
 
 
 def main():
-    budget = float(os.environ.get("HYPERGRECO_BENCH_BUDGET", "840"))
+    # Budget: round-4's driver window admitted ~3 warm configs (~350 s of
+    # trace+executable-load each) before killing at rc=124, so ~1200 s;
+    # exit rc=0 just under it. Even if the driver kills us first, every
+    # emitted line is a complete cumulative headline.
+    budget = float(os.environ.get("HYPERGRECO_BENCH_BUDGET", "1100"))
     per_cfg = float(os.environ.get("HYPERGRECO_BENCH_CONFIG_TIMEOUT", "800"))
     keys = [
         k.strip()
@@ -202,14 +210,16 @@ def main():
     deadline = time.time() + budget
     results, errors = {}, {}
     big = [k for k in BIG if k in keys]
-    small = [k for k in keys if k not in big]
-    queues = [big, small]
+    bn = [k for k in keys if k.startswith("bn")]
+    small = [k for k in keys if k not in big and k not in bn]
+    queues = [big, small, bn]
     qlock = threading.Lock()
     _emit(results, errors)  # a parseable line exists from t=0
 
     def next_key(lane: int):
         with qlock:
-            for q in (queues[lane], queues[1 - lane]):
+            order = [queues[lane]] + [q for i, q in enumerate(queues) if i != lane]
+            for q in order:
                 if q:
                     return q.pop(0)
         return None
@@ -256,7 +266,7 @@ def main():
 
     threads = [
         threading.Thread(target=worker, args=(lane,), daemon=True)
-        for lane in range(2)
+        for lane in range(len(queues))
     ]
     for t in threads:
         t.start()
